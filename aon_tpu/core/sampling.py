@@ -1,0 +1,182 @@
+"""Ray sampling math for hierarchical NeRF rendering (pure jnp, TPU-first).
+
+Behavioral contracts match the reference implementation
+(``/root/reference/models/vanilla_nerf/helper.py``):
+
+* ``sample_along_rays`` (helper.py:106-133): stratified sampling produces
+  ``num_samples + 1`` t-values (the MLP is evaluated on N+1 points), with
+  optional lindisp spacing and jittered midpoint perturbation.
+* ``pos_enc`` (helper.py:136-140): sin/cos computed as
+  ``sin(concat([xb, xb + pi/2]))`` with identity channels prepended, giving
+  ``(2*(max_deg-min_deg) + 1) * C`` output channels, frequency-major layout.
+* ``sorted_piecewise_constant_pdf`` (helper.py:203-243): weight padding to
+  eps=1e-5 total mass, CDF with 0/1 endpoints, deterministic u in
+  ``[0, 1 - 2**-32]`` when not randomized, piecewise-linear inverse CDF.
+  The reference inverts the CDF with an O(bins*samples) masked max/min
+  (helper.py:232-241); we use an equivalent comparison-count formulation
+  that maps to dense vectorized compare+gather (TPU/VPU friendly, no sort,
+  no data-dependent control flow).
+* ``sample_pdf`` (helper.py:246-252): fine t-values are drawn with
+  gradients stopped, then the sorted union of coarse+fine t-values is
+  recast into sample coordinates.
+
+All functions are shape-polymorphic over leading batch dims but written for
+``(num_rays, ...)`` batches; everything is jit/vmap/shard_map compatible
+(static shapes, no Python control flow on traced values).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def cast_rays(t_vals: jnp.ndarray, origins: jnp.ndarray, directions: jnp.ndarray) -> jnp.ndarray:
+    """o + t*d for every t. t_vals: (..., S); origins/directions: (..., 3) -> (..., S, 3)."""
+    return origins[..., None, :] + t_vals[..., None] * directions[..., None, :]
+
+
+def sample_along_rays(
+    key: Optional[jax.Array],
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    num_samples: int,
+    near: float,
+    far: float,
+    randomized: bool,
+    lindisp: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Stratified coarse sampling along rays.
+
+    Returns ``(t_vals, coords)`` with ``t_vals: (B, num_samples + 1)`` and
+    ``coords: (B, num_samples + 1, 3)``. When ``randomized`` is True, each of
+    the N+1 points is jittered uniformly within its midpoint-bounded bin
+    (reference helper.py:122-127).
+    """
+    bsz = rays_o.shape[0]
+    dtype = rays_o.dtype
+    t_vals = jnp.linspace(0.0, 1.0, num_samples + 1, dtype=dtype)
+    if lindisp:
+        t_vals = 1.0 / (1.0 / near * (1.0 - t_vals) + 1.0 / far * t_vals)
+    else:
+        t_vals = near * (1.0 - t_vals) + far * t_vals
+
+    if randomized:
+        if key is None:
+            raise ValueError("randomized sampling requires a PRNG key")
+        mids = 0.5 * (t_vals[..., 1:] + t_vals[..., :-1])
+        upper = jnp.concatenate([mids, t_vals[..., -1:]], axis=-1)
+        lower = jnp.concatenate([t_vals[..., :1], mids], axis=-1)
+        t_rand = jax.random.uniform(key, (bsz, num_samples + 1), dtype=dtype)
+        t_vals = lower + (upper - lower) * t_rand
+    else:
+        t_vals = jnp.broadcast_to(t_vals, (bsz, num_samples + 1))
+
+    coords = cast_rays(t_vals, rays_o, rays_d)
+    return t_vals, coords
+
+
+def pos_enc(x: jnp.ndarray, min_deg: int, max_deg: int) -> jnp.ndarray:
+    """Positional encoding with identity passthrough.
+
+    Output channels: ``(2*(max_deg - min_deg) + 1) * C`` laid out as
+    ``[x, sin(x*2^d0), ..., sin(x*2^dk), cos(x*2^d0), ..., cos(x*2^dk)]``
+    where each frequency block is C-wide (frequency-major, matching reference
+    helper.py:136-140 which computes cos as sin(x + pi/2)).
+    """
+    if max_deg == min_deg:
+        return x
+    scales = jnp.asarray([2.0**i for i in range(min_deg, max_deg)], dtype=x.dtype)
+    # (..., D, C) -> (..., D*C), frequency-major like the reference reshape.
+    xb = (x[..., None, :] * scales[:, None]).reshape(*x.shape[:-1], -1)
+    four_feat = jnp.sin(jnp.concatenate([xb, xb + 0.5 * math.pi], axis=-1))
+    return jnp.concatenate([x, four_feat], axis=-1)
+
+
+def sorted_piecewise_constant_pdf(
+    key: Optional[jax.Array],
+    bins: jnp.ndarray,
+    weights: jnp.ndarray,
+    num_samples: int,
+    randomized: bool,
+    float_min_eps: float = 2.0**-32,
+) -> jnp.ndarray:
+    """Inverse-CDF sampling from a piecewise-constant pdf over sorted bins.
+
+    bins: (B, N) sorted positions; weights: (B, N - 1) bin masses.
+    Returns samples: (B, num_samples).
+
+    Matches reference helper.py:203-243 exactly, including the eps=1e-5
+    total-mass padding and the cdf construction
+    ``cat([0, min(1, cumsum(pdf[:-1])), 1])`` (length N).
+    """
+    eps = 1e-5
+    dtype = bins.dtype
+    weight_sum = jnp.sum(weights, axis=-1, keepdims=True)
+    padding = jnp.maximum(jnp.zeros_like(weight_sum), eps - weight_sum)
+    weights = weights + padding / weights.shape[-1]
+    weight_sum = weight_sum + padding
+
+    pdf = weights / weight_sum
+    cdf = jnp.minimum(jnp.ones_like(pdf[..., :-1]), jnp.cumsum(pdf[..., :-1], axis=-1))
+    cdf = jnp.concatenate(
+        [jnp.zeros_like(cdf[..., :1]), cdf, jnp.ones_like(cdf[..., :1])], axis=-1
+    )  # (B, N)
+
+    if randomized:
+        if key is None:
+            raise ValueError("randomized PDF sampling requires a PRNG key")
+        u = jax.random.uniform(key, (*cdf.shape[:-1], num_samples), dtype=dtype)
+    else:
+        u = jnp.linspace(0.0, 1.0 - float_min_eps, num_samples, dtype=dtype)
+        u = jnp.broadcast_to(u, (*cdf.shape[:-1], num_samples))
+
+    # Reference inversion (helper.py:232-241):
+    #   mask[i, j] = u_j >= cdf_i
+    #   bin0_j = bins[max i with cdf_i <= u_j], bin1_j = bins[min i with cdf_i > u_j]
+    # Equivalent: idx_j = #{i : cdf_i <= u_j}; bin0 = bins[idx-1], bin1 = bins[idx]
+    # (clamped).  A dense compare+sum keeps this sort-free and vectorized.
+    idx = jnp.sum(
+        (u[..., None, :] >= cdf[..., :, None]).astype(jnp.int32), axis=-2
+    )  # (B, num_samples), values in [1, N] since cdf[0] = 0 <= u
+    lo = jnp.clip(idx - 1, 0, cdf.shape[-1] - 1)
+    hi = jnp.clip(idx, 0, cdf.shape[-1] - 1)
+
+    bin0 = jnp.take_along_axis(bins, lo, axis=-1)
+    bin1 = jnp.take_along_axis(bins, hi, axis=-1)
+    cdf0 = jnp.take_along_axis(cdf, lo, axis=-1)
+    cdf1 = jnp.take_along_axis(cdf, hi, axis=-1)
+
+    denom = cdf1 - cdf0
+    t = jnp.clip(jnp.nan_to_num((u - cdf0) / denom, nan=0.0), 0.0, 1.0)
+    # Guard 0/0 without producing nan under jit (where both branches evaluate).
+    t = jnp.where(denom <= 0, jnp.zeros_like(t), t)
+    samples = bin0 + t * (bin1 - bin0)
+    return samples
+
+
+def sample_pdf(
+    key: Optional[jax.Array],
+    bins: jnp.ndarray,
+    weights: jnp.ndarray,
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    t_vals: jnp.ndarray,
+    num_samples: int,
+    randomized: bool,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Hierarchical fine resampling (reference helper.py:246-252).
+
+    Draws ``num_samples`` fine t-values from the coarse weight pdf (gradients
+    stopped), sorts the union with the coarse ``t_vals`` and recasts.
+    Returns ``(t_union_sorted, coords)`` with shapes
+    ``(B, T + num_samples)`` / ``(B, T + num_samples, 3)``.
+    """
+    t_samples = sorted_piecewise_constant_pdf(key, bins, weights, num_samples, randomized)
+    t_samples = jax.lax.stop_gradient(t_samples)
+    t_vals = jnp.sort(jnp.concatenate([t_vals, t_samples], axis=-1), axis=-1)
+    coords = cast_rays(t_vals, origins, directions)
+    return t_vals, coords

@@ -1,0 +1,33 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+Tests exercise the multi-chip sharding paths without TPU hardware by asking
+XLA for 8 host-platform devices (SURVEY.md §4 test plan).  Must run before
+jax initializes its backends, hence environment setup at import time.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the image pre-sets JAX_PLATFORMS=axon
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+# fp32 everywhere in tests (TPU runs use bf16 compute via config).
+os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "highest")
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def eight_devices():
+    devices = jax.devices()
+    assert len(devices) == 8, f"expected 8 virtual devices, got {len(devices)}"
+    return devices
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
