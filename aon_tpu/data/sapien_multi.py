@@ -1,0 +1,200 @@
+"""Multi-instance articulated SAPIEN dataset (host-side numpy).
+
+Disk layout and semantics from reference ``datasets/sapien_multi.py``:
+
+* ``{root}/{instance}/train/{deg}_degree/{rgb,seg,transforms.json}``;
+* train degrees 0..90 step 10 indexed 0..9 (sapien_multi.py:11-14);
+* virtual epoch of ``samples_per_epoch=4000`` items (sapien_multi.py:138);
+* a train item picks random (instance, degree, image<=58), masks the RGB
+  image outside seg>0 with white/black background (sapien_multi.py:188-199),
+  and draws ``ray_batch_size=4096`` uniform random pixels (with
+  replacement, torch.randint semantics — sapien_multi.py:234-241);
+* item also carries the seg-masked full image normalized to [-1,1]
+  (``src_imgs``) for the auto-encoder variant, the articulation angle in
+  radians (``deg``), ``instance_id`` and ``articulation_id``;
+* val: one random full frame from the TRAIN directories
+  (sapien_multi.py:259-268);
+* test: 19 frames over the 0_degree instance with spheric render poses
+  (radius 4) and ``articulation_id = idx`` indexing the interpolated latent
+  table (sapien_multi.py:308-348, 438-479);
+* focal from camera_angle_x, rescaled by w/320; near/far 2/6.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+from PIL import Image
+
+from aon_tpu.core.rays import create_spheric_poses, get_ray_directions, get_rays
+
+IDX_TO_DEG = {
+    "train": {i: 10 * i for i in range(10)},
+    "val": {i: 5 + 10 * i for i in range(9)},
+}
+NEAR, FAR = 2.0, 6.0
+N_TEST_FRAMES = 19
+
+
+class SapienDatasetMulti:
+    def __init__(
+        self,
+        root_dir: str,
+        split: str = "train",
+        img_wh=(320, 240),
+        model_type: Optional[str] = None,
+        white_back: Optional[bool] = None,
+        eval_inference: Optional[str] = None,
+        samples_per_epoch: int = 4000,
+        ray_batch_size: int = 4096,
+    ):
+        self.root_dir = root_dir
+        self.split = split
+        self.img_wh = tuple(img_wh)
+        self.white_back = white_back
+        self.near, self.far = NEAR, FAR
+        self.samples_per_epoch = samples_per_epoch
+        self.ray_batch_size = ray_batch_size
+
+        self.ids = np.sort([f.name for f in os.scandir(root_dir) if f.is_dir()])
+        w, h = self.img_wh
+        if eval_inference is not None:
+            self.image_sizes = np.array([[h, w] for _ in range(N_TEST_FRAMES)])
+            self.poses_test = create_spheric_poses(radius=4.0)
+        else:
+            self.image_sizes = np.array([[h, w]])
+
+    # ----- helpers -----
+
+    def _degree_dirs(self, instance_dir: str):
+        base = os.path.join(self.root_dir, instance_dir, "train")
+        names = [f.name for f in os.scandir(base)]
+        order = np.argsort([int(n.split("_")[0]) for n in names])
+        return [names[i] for i in order]
+
+    def _load_image_and_seg(self, img_path: str, seg_path: str):
+        w, h = self.img_wh
+        img = Image.open(img_path).convert("RGB").resize((w, h), Image.LANCZOS)
+        seg = Image.open(seg_path).resize((w, h), Image.LANCZOS)
+        seg_mask = np.asarray(seg) > 0
+        if seg_mask.ndim == 3:
+            seg_mask = seg_mask.any(axis=-1)
+        return np.asarray(img, dtype=np.uint8), seg_mask
+
+    def _mask_image(self, img: np.ndarray, seg: np.ndarray) -> np.ndarray:
+        bg = 255 if self.white_back else 0
+        out = np.full_like(img, bg)
+        out[seg] = img[seg]
+        return out
+
+    def _read_frame(self, instance_id: str, degree_dir: str, image_id: int, c2w_override=None):
+        base = os.path.join(self.root_dir, instance_id, "train", degree_dir)
+        files = os.listdir(os.path.join(base, "rgb"))
+        order = np.argsort([int(f.split("_")[1].split(".")[0]) for f in files])
+        files = [files[i] for i in order]
+        with open(os.path.join(base, "transforms.json")) as fh:
+            poses = json.load(fh)
+        w, h = self.img_wh
+        focal = 0.5 * h / np.tan(0.5 * poses["camera_angle_x"])
+        focal *= w / 320.0
+        directions = get_ray_directions(h, w, focal)
+
+        img_file = files[image_id % len(files)]  # reference draws in [0, 59); small fixtures wrap
+        if c2w_override is not None:
+            c2w = np.asarray(c2w_override, dtype=np.float32)[:3, :4]
+        else:
+            c2w = np.array(poses["frames"][img_file.split(".")[0]], dtype=np.float32)[:3, :4]
+
+        img, seg = self._load_image_and_seg(
+            os.path.join(base, "rgb", img_file), os.path.join(base, "seg", img_file)
+        )
+        img = self._mask_image(img, seg)
+        rays_o, viewdirs, rays_d, _ = get_rays(
+            directions, c2w, output_view_dirs=True, output_radii=True
+        )
+        return rays_o, viewdirs, rays_d, img, seg
+
+    def _to_sample(self, rays_o, viewdirs, rays_d, img, seg, pix_inds=None):
+        h, w = img.shape[:2]
+        rgbs = np.asarray(img, dtype=np.float32).reshape(-1, 3) / 255.0
+        mask = seg.reshape(-1, 1).astype(np.float32)
+        src_img = (np.asarray(img, dtype=np.float32) / 255.0 - 0.5) / 0.5  # [-1, 1]
+        src_img = np.transpose(src_img, (2, 0, 1))  # (3, h, w) like the reference
+        if pix_inds is not None:
+            rays_o = rays_o[pix_inds]
+            rays_d = rays_d[pix_inds]
+            viewdirs = viewdirs[pix_inds]
+            rgbs = rgbs[pix_inds]
+            mask = mask[pix_inds]
+        return {
+            "rays_o": rays_o,
+            "rays_d": rays_d,
+            "viewdirs": viewdirs,
+            "src_imgs": src_img,
+            "target": rgbs,
+            "instance_mask": mask,
+        }
+
+    # ----- item generators -----
+
+    def __len__(self) -> int:
+        if self.split == "train":
+            return self.samples_per_epoch
+        if self.split == "val":
+            return 1
+        return N_TEST_FRAMES
+
+    def train_batches(self, seed: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        """Infinite stream of fixed-shape 4096-ray articulated batches."""
+        g = np.random.default_rng(seed)
+        w, h = self.img_wh
+        while True:
+            train_idx = int(g.integers(0, len(self.ids)))
+            instance_dir = self.ids[train_idx]
+            deg_paths = self._degree_dirs(instance_dir)
+            deg_idx = int(g.integers(0, len(deg_paths)))
+            image_id = int(g.integers(0, 59))
+            rays_o, viewdirs, rays_d, img, seg = self._read_frame(
+                instance_dir, deg_paths[deg_idx], image_id
+            )
+            pix_inds = g.integers(0, h * w, size=self.ray_batch_size)
+            sample = self._to_sample(rays_o, viewdirs, rays_d, img, seg, pix_inds)
+            sample["deg"] = np.float32(np.deg2rad(IDX_TO_DEG["train"][deg_idx]))
+            sample["instance_id"] = np.int32(train_idx)
+            sample["articulation_id"] = np.int32(deg_idx)
+            yield sample
+
+    def val_frame(self, seed: int = 0) -> Dict[str, np.ndarray]:
+        g = np.random.default_rng(seed)
+        val_idx = int(g.integers(0, len(self.ids)))
+        instance_dir = self.ids[val_idx]
+        deg_paths = self._degree_dirs(instance_dir)
+        deg_idx = int(g.integers(0, len(deg_paths)))
+        image_id = int(g.integers(0, 59))
+        rays_o, viewdirs, rays_d, img, seg = self._read_frame(
+            instance_dir, deg_paths[deg_idx], image_id
+        )
+        sample = self._to_sample(rays_o, viewdirs, rays_d, img, seg)
+        sample["deg"] = np.float32(np.deg2rad(IDX_TO_DEG["train"][deg_idx]))
+        sample["instance_id"] = np.int32(val_idx)
+        sample["articulation_id"] = np.int32(deg_idx)
+        sample["img_wh"] = np.array(self.img_wh)
+        return sample
+
+    def test_frame(self, idx: int, seed: int = 0) -> Dict[str, np.ndarray]:
+        """Spheric-pose frame over the 0_degree data; articulation_id = idx
+        indexes the interpolated latent table (reference :438-479)."""
+        g = np.random.default_rng(seed)
+        val_idx = int(g.integers(0, len(self.ids)))
+        instance_dir = self.ids[val_idx]
+        rays_o, viewdirs, rays_d, img, seg = self._read_frame(
+            instance_dir, "0_degree", idx, c2w_override=self.poses_test[idx]
+        )
+        sample = self._to_sample(rays_o, viewdirs, rays_d, img, seg)
+        sample["instance_id"] = np.int32(val_idx)
+        sample["articulation_id"] = np.int32(idx)
+        sample["img_wh"] = np.array(self.img_wh)
+        return sample

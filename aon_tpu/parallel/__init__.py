@@ -1,0 +1,15 @@
+from aon_tpu.parallel.mesh import (
+    get_mesh,
+    replicated_sharding,
+    ray_sharding,
+    shard_ray_batch,
+    pad_to_multiple,
+)
+
+__all__ = [
+    "get_mesh",
+    "replicated_sharding",
+    "ray_sharding",
+    "shard_ray_batch",
+    "pad_to_multiple",
+]

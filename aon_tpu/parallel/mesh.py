@@ -1,0 +1,87 @@
+"""Device mesh + sharding helpers (the TPU replacement for Lightning DDP).
+
+The reference's only parallelism is data-parallel rays over NCCL
+(``run.py:109,129,151``).  Here the equivalent is a 1-D ``jax.sharding.Mesh``
+over all local/global devices with the ray batch sharded on axis ``"data"``
+and params replicated; XLA inserts the gradient ``psum`` over ICI when the
+jitted train step consumes a sharded batch and produces replicated grads.
+
+Multi-host (DCN) runs initialize ``jax.distributed`` first (see
+``maybe_initialize_distributed``); the same mesh code then spans all
+processes' devices.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def maybe_initialize_distributed() -> None:
+    """Initialize multi-host JAX when launched under a cluster env.
+
+    No-op for single-process runs (the common case on one TPU VM).
+    """
+    if os.environ.get("AON_DISTRIBUTED", "0") == "1" and jax.process_count() == 1:
+        jax.distributed.initialize()
+
+
+def get_mesh(n_devices: Optional[int] = None) -> Mesh:
+    """1-D mesh over ``n_devices`` (default: all) with axis name "data"."""
+    devices = jax.devices()
+    if n_devices is not None:
+        if n_devices > len(devices):
+            raise ValueError(
+                f"requested {n_devices} devices, only {len(devices)} available"
+            )
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), axis_names=(DATA_AXIS,))
+
+
+def ray_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (ray) axis across the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def pad_to_multiple(x: np.ndarray, multiple: int, axis: int = 0) -> np.ndarray:
+    """Pad axis 0 up to a device-divisible length by repeating the last row.
+
+    Fixed shapes are mandatory under jit; eval frames (e.g. 640*480 = 307200
+    rays) must pad to a chip-divisible count before sharding.
+    """
+    n = x.shape[axis]
+    rem = (-n) % multiple
+    if rem == 0:
+        return x
+    pad_width = [(0, 0)] * x.ndim
+    pad_width[axis] = (0, rem)
+    return np.pad(x, pad_width, mode="edge")
+
+
+def shard_ray_batch(batch: Dict[str, np.ndarray], mesh: Mesh) -> Dict[str, jax.Array]:
+    """Device-put a host batch with rays sharded over the mesh.
+
+    Scalar / per-batch entries (deg, instance_id, src_imgs, ...) are
+    replicated; everything with a leading ray axis is sharded.
+    """
+    rs = ray_sharding(mesh)
+    rep = replicated_sharding(mesh)
+    n_dev = mesh.devices.size
+    out = {}
+    for k, v in batch.items():
+        v = np.asarray(v)
+        if v.ndim >= 1 and v.shape[0] % n_dev == 0 and v.shape[0] >= n_dev:
+            out[k] = jax.device_put(v, rs)
+        else:
+            out[k] = jax.device_put(v, rep)
+    return out

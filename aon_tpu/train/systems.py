@@ -1,0 +1,244 @@
+"""Training systems: jitted, mesh-sharded train/render steps per exp_type.
+
+These replace the reference's three LightningModules (``LitNeRF``,
+``LitNeRF_AutoDecoder``, ``LitNeRF_AE_ART``): instead of a framework-owned
+loop with DDP gradient hooks, each system exposes
+
+  * ``init_state(key)``   -> flax TrainState (params replicated over mesh)
+  * ``train_step``        -> jitted (state, batch, key) -> (state, metrics);
+                             rays arrive sharded on the mesh "data" axis and
+                             XLA inserts the gradient psum over ICI
+  * ``render_chunk``      -> jitted deterministic renderer for eval
+
+Loss/metric contracts:
+  vanilla      (model.py:256-282):       MSE(coarse) + MSE(fine)
+  autodecoder  (model_autodecoder.py:395-477): + 1e-4 * latent-norm reg
+  ae_art       (model_ae_art.py:355-418): masked MSE + joint-state MSE
+                                           + 0.05 * BCE opacity (both levels)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state
+
+from aon_tpu.core.rendering import img2mse, mse2psnr
+from aon_tpu.models import ArticulatedNeRF, CodeLibraryArticulated, VanillaNeRF
+from aon_tpu.train.schedule import nerf_lr_schedule
+from aon_tpu.utils.config import Config
+
+
+class TrainState(train_state.TrainState):
+    pass
+
+
+def _dtype(cfg: Config):
+    return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+
+def make_optimizer(cfg: Config):
+    schedule = nerf_lr_schedule(
+        cfg.lr_init, cfg.lr_final, cfg.lr_delay_steps, cfg.lr_delay_mult, cfg.run_max_steps
+    )
+    return optax.adam(schedule, b1=0.9, b2=0.999), schedule
+
+
+def _rays_of(batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    return {k: batch[k] for k in ("rays_o", "rays_d", "viewdirs")}
+
+
+class VanillaSystem:
+    """exp_type="vanilla": single-scene NeRF on sharded ray batches."""
+
+    def __init__(self, cfg: Config, near: float, far: float, white_bkgd: bool):
+        self.cfg = cfg
+        self.near, self.far, self.white_bkgd = float(near), float(far), bool(white_bkgd)
+        self.model = VanillaNeRF(
+            num_coarse_samples=cfg.N_samples,
+            num_fine_samples=cfg.N_importance,
+            min_deg_point=0,
+            max_deg_point=cfg.N_emb_xyz,
+            deg_view=cfg.N_emb_dir,
+            noise_std=cfg.noise_std,
+            lindisp=cfg.lindisp,
+            dtype=_dtype(cfg),
+        )
+        self.tx, self.lr_schedule = make_optimizer(cfg)
+        self._build_steps()
+
+    def init_state(self, key: jax.Array) -> TrainState:
+        dummy = {
+            "rays_o": jnp.zeros((2, 3)),
+            "rays_d": jnp.ones((2, 3)),
+            "viewdirs": jnp.ones((2, 3)),
+        }
+        variables = self.model.init(key, dummy, key, False, self.white_bkgd, self.near, self.far)
+        return TrainState.create(
+            apply_fn=self.model.apply, params=variables["params"], tx=self.tx
+        )
+
+    def _build_steps(self):
+        model, near, far, white_bkgd = self.model, self.near, self.far, self.white_bkgd
+
+        def loss_fn(params, batch, key):
+            out = model.apply({"params": params}, _rays_of(batch), key, True, white_bkgd, near, far)
+            loss0 = img2mse(out[0][0], batch["target"])
+            loss1 = img2mse(out[1][0], batch["target"])
+            loss = loss0 + loss1
+            return loss, {"loss0": loss0, "loss1": loss1}
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def train_step(state: TrainState, batch, key):
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, batch, key
+            )
+            state = state.apply_gradients(grads=grads)
+            metrics = {
+                "train/loss": loss,
+                "train/psnr0": mse2psnr(aux["loss0"]),
+                "train/psnr1": mse2psnr(aux["loss1"]),
+            }
+            return state, metrics
+
+        @jax.jit
+        def render_chunk(params, rays):
+            out = model.apply({"params": params}, rays, None, False, white_bkgd, near, far)
+            comp_rgb, acc, depth = out[1]
+            return {"comp_rgb": comp_rgb, "acc": acc, "depth": depth}
+
+        self.train_step = train_step
+        self.render_chunk = render_chunk
+
+    def render_latents_for_eval(self, params, batch, is_test=False):
+        return None  # vanilla has no latents
+
+
+class AutoDecoderSystem:
+    """exp_type="vanilla_autodecoder": articulated NeRF + latent code library.
+
+    The code library is just another params subtree, so the reference's
+    "optimizer over model + embeddings" (model_autodecoder.py:604-606) is the
+    single optax update here.
+    """
+
+    def __init__(self, cfg: Config, near: float, far: float, white_bkgd: bool):
+        self.cfg = cfg
+        self.near, self.far, self.white_bkgd = float(near), float(far), bool(white_bkgd)
+        self.model = ArticulatedNeRF(
+            num_coarse_samples=cfg.N_samples,
+            num_fine_samples=cfg.N_importance,
+            min_deg_point=0,
+            max_deg_point=cfg.N_emb_xyz,
+            deg_view=cfg.N_emb_dir,
+            noise_std=cfg.noise_std,
+            lindisp=cfg.lindisp,
+            sigma_activation="softplus_bias",
+            rgb_padding=0.001,
+            density_bias=-1.0,
+            dtype=_dtype(cfg),
+        )
+        self.code_library = CodeLibraryArticulated(
+            n_max_objs=cfg.N_max_objs, n_obj_code_length=cfg.N_obj_code_length
+        )
+        self.tx, self.lr_schedule = make_optimizer(cfg)
+        self._build_steps()
+
+    def init_state(self, key: jax.Array) -> TrainState:
+        k1, k2 = jax.random.split(key)
+        dummy = {
+            "rays_o": jnp.zeros((2, 3)),
+            "rays_d": jnp.ones((2, 3)),
+            "viewdirs": jnp.ones((2, 3)),
+        }
+        dummy_latents = {
+            "density": jnp.zeros((1, self.cfg.N_obj_code_length)),
+            "color": jnp.zeros((1, self.cfg.N_obj_code_length)),
+            "articulation": jnp.zeros((1, 32)),
+        }
+        model_vars = self.model.init(
+            k1, dummy, dummy_latents, k1, False, self.white_bkgd, self.near, self.far
+        )
+        lib_vars = self.code_library.init(k2, jnp.array(0), jnp.array(0))
+        params = {"model": model_vars["params"], "code_library": lib_vars["params"]}
+        return TrainState.create(apply_fn=self.model.apply, params=params, tx=self.tx)
+
+    def _latents(self, params, batch, is_test=False):
+        return self.code_library.apply(
+            {"params": params["code_library"]},
+            batch["instance_id"],
+            batch["articulation_id"],
+            is_test=is_test,
+        )
+
+    def _build_steps(self):
+        model, lib = self.model, self.code_library
+        near, far, white_bkgd = self.near, self.far, self.white_bkgd
+
+        def loss_fn(params, batch, key):
+            latents = lib.apply(
+                {"params": params["code_library"]},
+                batch["instance_id"],
+                batch["articulation_id"],
+            )
+            out = model.apply(
+                {"params": params["model"]}, _rays_of(batch), latents, key, True,
+                white_bkgd, near, far,
+            )
+            loss0 = img2mse(out[0][0], batch["target"])
+            loss1 = img2mse(out[1][0], batch["target"])
+            # latent-norm regularization (model_autodecoder.py:456-466):
+            # torch.norm(code, dim=0) over a (1, C) code == per-channel |x|.
+            reg = (
+                jnp.mean(jnp.linalg.norm(latents["density"], axis=0))
+                + jnp.mean(jnp.linalg.norm(latents["color"], axis=0))
+                + jnp.mean(jnp.linalg.norm(latents["articulation"], axis=0))
+            )
+            reg = 1e-4 * reg
+            loss = loss0 + loss1 + reg
+            return loss, {"loss0": loss0, "loss1": loss1, "reg": reg}
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def train_step(state: TrainState, batch, key):
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, batch, key
+            )
+            state = state.apply_gradients(grads=grads)
+            metrics = {
+                "train/loss": loss,
+                "train/loss/reg": aux["reg"],
+                "train/psnr0": mse2psnr(aux["loss0"]),
+                "train/psnr1": mse2psnr(aux["loss1"]),
+            }
+            return state, metrics
+
+        @functools.partial(jax.jit, static_argnames=("is_test",))
+        def render_chunk(params, rays, instance_id, articulation_id, is_test=False):
+            latents = lib.apply(
+                {"params": params["code_library"]}, instance_id, articulation_id,
+                is_test=is_test,
+            )
+            out = model.apply(
+                {"params": params["model"]}, rays, latents, None, False, white_bkgd, near, far
+            )
+            comp_rgb, acc, depth = out[1]
+            return {"comp_rgb": comp_rgb, "acc": acc, "depth": depth}
+
+        self.train_step = train_step
+        self.render_chunk = render_chunk
+
+
+def build_system(cfg: Config, near: float, far: float, white_bkgd: bool):
+    if cfg.exp_type == "vanilla":
+        return VanillaSystem(cfg, near, far, white_bkgd)
+    if cfg.exp_type == "vanilla_autodecoder":
+        return AutoDecoderSystem(cfg, near, far, white_bkgd)
+    if cfg.exp_type == "vanilla_ae_art":
+        from aon_tpu.train.system_ae import AutoEncoderSystem
+
+        return AutoEncoderSystem(cfg, near, far, white_bkgd)
+    raise ValueError(f"unknown exp_type: {cfg.exp_type}")

@@ -1,0 +1,150 @@
+"""Configuration: reference-compatible CLI/JSON surface over a dataclass.
+
+The reference merges argparse flags with a JSON file where the JSON silently
+wins (``opt.py:210-222``).  We preserve that public surface (same flag
+names, ``--config`` JSON overlay with JSON precedence) but back it with one
+typed dataclass and an explicit warning when JSON overrides a CLI value.
+
+Differences from the reference, on purpose:
+* ``N_samples`` / ``N_importance`` are LIVE (the reference parses but never
+  forwards them — ``model.py:218`` constructs ``NeRF()`` with class defaults
+  64/128; our defaults match that actual behavior);
+* TPU-specific knobs: ``num_devices`` (replaces ``num_gpus`` but the old
+  flag is still accepted), ``compute_dtype``, ``use_pallas``, ``seed``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+
+@dataclass
+class Config:
+    # run surface (reference opt.py flag names)
+    config: Optional[str] = None
+    root_dir: str = "./data/scissor"
+    dataset_name: str = "sapien"  # sapien | sapien_multi
+    output_path: str = "./results"
+    img_wh: List[int] = field(default_factory=lambda: [640, 480])
+    white_back: bool = False
+    exp_name: str = "exp"
+    exp_type: str = "vanilla"  # vanilla | vanilla_autodecoder | vanilla_ae_art
+    run_eval: bool = False
+    render_name: Optional[str] = None
+    ckpt_path: Optional[str] = None
+
+    # model
+    N_samples: int = 64
+    N_importance: int = 128
+    N_emb_xyz: int = 10
+    N_emb_dir: int = 4
+    noise_std: float = 0.0
+    use_disp: bool = False  # lindisp
+
+    # latent codes (articulated)
+    N_max_objs: int = 151
+    N_obj_code_length: int = 128
+
+    # data / batching
+    batch_size: int = 2048  # rays per step (vanilla)
+    ray_batch_size: int = 4096  # rays per step (articulated, sapien_multi)
+    chunk: int = 16 * 240  # eval render rays per device step
+    samples_per_epoch: int = 4000
+
+    # optimization (reference LitNeRF defaults, model.py:203-209)
+    lr_init: float = 5.0e-4
+    lr_final: float = 5.0e-6
+    lr_delay_steps: int = 2500
+    lr_delay_mult: float = 0.01
+    run_max_steps: int = 100000
+    num_epochs: int = 80
+
+    # eval artifacts
+    save_path: str = "vanilla"
+
+    # parallel / TPU
+    num_gpus: int = 1  # accepted for reference-command compat
+    num_devices: int = 0  # 0 = all available
+    compute_dtype: str = "bfloat16"  # bfloat16 | float32
+    use_pallas: bool = True
+    seed: int = 0
+
+    # logging / checkpointing
+    log_every_n_steps: int = 50
+    check_val_every_n_epoch: int = 1
+    limit_val_batches: int = 5
+    save_top_k: int = 5
+    ckpt_every_n_epochs: int = 10
+
+    def effective_num_devices(self) -> int:
+        import jax
+
+        if self.num_devices > 0:
+            return self.num_devices
+        return len(jax.devices())
+
+    @property
+    def lindisp(self) -> bool:
+        return self.use_disp
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+
+_BOOL_FIELDS = {"white_back", "run_eval", "use_disp", "use_pallas"}
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="aon_tpu runner (reference-compatible surface)")
+    for f in dataclasses.fields(Config):
+        name = f"--{f.name}"
+        if f.name in _BOOL_FIELDS:
+            p.add_argument(name, default=None, action="store_true")
+        elif f.name == "img_wh":
+            p.add_argument(name, nargs="+", type=int, default=None)
+        else:
+            typ = f.type
+            caster = {"int": int, "float": float, "str": str, "Optional[str]": str}.get(
+                str(typ).replace("typing.", ""), str
+            )
+            p.add_argument(name, type=caster, default=None)
+    return p
+
+
+def get_config(argv: Optional[List[str]] = None) -> Config:
+    """Parse CLI + JSON overlay.  Precedence: JSON > CLI > defaults
+    (matching reference opt.py:210-222, with a warning on conflicts)."""
+    parser = _build_parser()
+    args = parser.parse_args(argv)
+    cfg = Config()
+
+    cli_set = {k: v for k, v in vars(args).items() if v is not None}
+    for k, v in cli_set.items():
+        setattr(cfg, k, v)
+
+    if args.config:
+        with open(args.config) as fh:
+            data = json.load(fh)
+        known = {f.name for f in dataclasses.fields(Config)}
+        for k, v in data.items():
+            if k not in known:
+                print(f"[config] ignoring unknown JSON key: {k}", file=sys.stderr)
+                continue
+            if k in cli_set and cli_set[k] != v:
+                print(
+                    f"[config] JSON overrides CLI for {k!r}: {cli_set[k]!r} -> {v!r}",
+                    file=sys.stderr,
+                )
+            setattr(cfg, k, v)
+        cfg.config = args.config
+
+    if "num_gpus" in (cli_set.keys() | (data.keys() if args.config else set())):
+        # reference commands say --num_gpus N; map onto num_devices if unset
+        if cfg.num_devices == 0 and cfg.num_gpus > 1:
+            cfg.num_devices = cfg.num_gpus
+    return cfg
