@@ -75,6 +75,7 @@ def sample_along_rays(
     else:
         t_vals = jnp.broadcast_to(t_vals, (bsz, num_samples + 1))
 
+    t_vals = jax.lax.stop_gradient(t_vals)  # sample positions carry no param grads
     coords = cast_rays(t_vals, rays_o, rays_d)
     return t_vals, coords
 
@@ -178,5 +179,11 @@ def sample_pdf(
     t_samples = sorted_piecewise_constant_pdf(key, bins, weights, num_samples, randomized)
     t_samples = jax.lax.stop_gradient(t_samples)
     t_vals = jnp.sort(jnp.concatenate([t_vals, t_samples], axis=-1), axis=-1)
+    # The t-value pipeline carries no parameter gradients (fine samples are
+    # detached above; coarse t depends only on rays + RNG).  Stop gradients
+    # here so autodiff never builds the sort/inverse-CDF backward — which at
+    # large ray batches trips a TPU backend regalloc RET_CHECK and is pure
+    # wasted compute anyway.
+    t_vals = jax.lax.stop_gradient(t_vals)
     coords = cast_rays(t_vals, origins, directions)
     return t_vals, coords

@@ -53,6 +53,7 @@ class ArticulatedNeRFMLP(nn.Module):
     num_density_channels: int = 1
     deformation_mlp: bool = True
     enc_after: bool = True
+    use_deg_embedding: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -61,7 +62,6 @@ class ArticulatedNeRFMLP(nn.Module):
         pos: jnp.ndarray,
         condition: jnp.ndarray,
         latents: Dict[str, jnp.ndarray],
-        use_deg_embedding: bool = False,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """pos: (B, S, 3) RAW sample coords (enc_after) or encoded coords;
         condition: (B, Cview) encoded viewdirs; latents: dict with
@@ -80,7 +80,7 @@ class ArticulatedNeRFMLP(nn.Module):
 
         shape_code = bcast(latents["density"])
         appearance_code = bcast(latents["color"])
-        art_key = "articulation_deg" if use_deg_embedding else "articulation"
+        art_key = "articulation_deg" if self.use_deg_embedding else "articulation"
         articulation_code = bcast(latents[art_key])
 
         x = jnp.concatenate([x_pos, shape_code, articulation_code], axis=-1)
@@ -147,6 +147,7 @@ class ArticulatedNeRF(nn.Module):
     sigma_activation: str = "softplus_bias"
     enc_after: bool = True
     use_deg_embedding: bool = False
+    remat: bool = True  # rematerialize MLP activations in backward (HBM saver)
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -154,10 +155,12 @@ class ArticulatedNeRF(nn.Module):
             min_deg_point=self.min_deg_point,
             max_deg_point=self.max_deg_point,
             enc_after=self.enc_after,
+            use_deg_embedding=self.use_deg_embedding,
             dtype=self.dtype,
         )
-        self.coarse_mlp = ArticulatedNeRFMLP(**mlp_kw)
-        self.fine_mlp = ArticulatedNeRFMLP(**mlp_kw)
+        mlp_cls = nn.remat(ArticulatedNeRFMLP) if self.remat else ArticulatedNeRFMLP
+        self.coarse_mlp = mlp_cls(**mlp_kw)
+        self.fine_mlp = mlp_cls(**mlp_kw)
 
     def __call__(
         self,
@@ -209,9 +212,7 @@ class ArticulatedNeRF(nn.Module):
             else:
                 samples_enc = sampling.pos_enc(samples, self.min_deg_point, self.max_deg_point)
             viewdirs_enc = sampling.pos_enc(rays["viewdirs"], 0, self.deg_view)
-            raw_rgb, raw_sigma = mlp(
-                samples_enc, viewdirs_enc, latents, use_deg_embedding=self.use_deg_embedding
-            )
+            raw_rgb, raw_sigma = mlp(samples_enc, viewdirs_enc, latents)
 
             if self.noise_std > 0 and randomized:
                 raw_sigma = raw_sigma + (

@@ -44,6 +44,7 @@ class VanillaNeRF(nn.Module):
     netdepth_condition: int = 1
     netwidth_condition: int = 128
     skip_layer: int = 4
+    remat: bool = True  # rematerialize MLP activations in backward (HBM saver)
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -55,8 +56,9 @@ class VanillaNeRF(nn.Module):
             skip_layer=self.skip_layer,
             dtype=self.dtype,
         )
-        self.coarse_mlp = NeRFMLP(**mlp_kw)
-        self.fine_mlp = NeRFMLP(**mlp_kw)
+        mlp_cls = nn.remat(NeRFMLP) if self.remat else NeRFMLP
+        self.coarse_mlp = mlp_cls(**mlp_kw)
+        self.fine_mlp = mlp_cls(**mlp_kw)
 
     def __call__(
         self,

@@ -78,9 +78,13 @@ class VanillaSystem:
             "viewdirs": jnp.ones((2, 3)),
         }
         variables = self.model.init(key, dummy, key, False, self.white_bkgd, self.near, self.far)
-        return TrainState.create(
+        state = TrainState.create(
             apply_fn=self.model.apply, params=variables["params"], tx=self.tx
         )
+        # step as a device int32 from the start: TrainState.create uses a
+        # Python int whose aval changes after the first apply_gradients,
+        # which would force a full retrace/recompile on step 2.
+        return state.replace(step=jnp.asarray(0, jnp.int32))
 
     def _build_steps(self):
         model, near, far, white_bkgd = self.model, self.near, self.far, self.white_bkgd
@@ -165,7 +169,8 @@ class AutoDecoderSystem:
         )
         lib_vars = self.code_library.init(k2, jnp.array(0), jnp.array(0))
         params = {"model": model_vars["params"], "code_library": lib_vars["params"]}
-        return TrainState.create(apply_fn=self.model.apply, params=params, tx=self.tx)
+        state = TrainState.create(apply_fn=self.model.apply, params=params, tx=self.tx)
+        return state.replace(step=jnp.asarray(0, jnp.int32))  # see VanillaSystem note
 
     def _latents(self, params, batch, is_test=False):
         return self.code_library.apply(

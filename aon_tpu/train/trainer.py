@@ -1,0 +1,254 @@
+"""Training orchestration (the TPU replacement for Lightning Trainer).
+
+Reference behavior reproduced (``run.py:86-166``):
+  * epochs of ``steps_per_epoch`` batches, hard step cap ``run_max_steps``;
+  * validation every ``check_val_every_n_epoch`` epochs over at most
+    ``limit_val_batches`` full frames, logging val/psnr (+ val/psnr_obj for
+    articulated runs) and a [GT|pred|depth|opacity] grid image;
+  * checkpoints: last every epoch + val/psnr-ranked top-k every
+    ``ckpt_every_n_epochs``;
+  * NaN detection on the host loss (the reference runs Lightning with
+    ``detect_anomaly=True``).
+
+TPU specifics: ray batches stream from the host as fixed-shape numpy and are
+device_put with a ray sharding over the mesh; the PRNG key is folded with
+the global step so results are independent of epoch re-chunking.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from aon_tpu.data import dataset_dict
+from aon_tpu.eval import metrics as M
+from aon_tpu.eval.render import render_frame
+from aon_tpu.parallel import get_mesh, shard_ray_batch
+from aon_tpu.train.checkpoint import CheckpointManager
+from aon_tpu.train.logging import MetricLogger
+from aon_tpu.train.systems import build_system
+from aon_tpu.utils.config import Config
+from aon_tpu.utils.viz import val_grid
+
+
+class Trainer:
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.mesh = get_mesh(cfg.num_devices if cfg.num_devices > 0 else None)
+        self.result_dir = Path(cfg.output_path) / cfg.exp_name
+        self.result_dir.mkdir(parents=True, exist_ok=True)
+
+        ds_cls = dataset_dict[cfg.dataset_name]
+        common = dict(root_dir=cfg.root_dir, img_wh=tuple(cfg.img_wh), white_back=cfg.white_back)
+        if cfg.run_eval:
+            self.test_dataset = ds_cls(
+                split="test_val", eval_inference=cfg.render_name or "render", **common
+            )
+            near, far, wb = self.test_dataset.near, self.test_dataset.far, cfg.white_back
+        else:
+            self.train_dataset = ds_cls(split="train", **common)
+            self.val_dataset = ds_cls(split="val", **common)
+            near, far, wb = self.train_dataset.near, self.train_dataset.far, cfg.white_back
+
+        self.system = build_system(cfg, near, far, wb)
+        self.ckpt = CheckpointManager(str(self.result_dir), save_top_k=cfg.save_top_k)
+        self.logger = MetricLogger(str(self.result_dir), stdout_every=cfg.log_every_n_steps)
+
+        key = jax.random.PRNGKey(cfg.seed)
+        self.base_key, init_key = jax.random.split(key)
+        self.state = self.system.init_state(init_key)
+        self.global_step = 0
+
+    # ------------------------------------------------------------------ fit
+
+    def _train_iterator(self):
+        cfg = self.cfg
+        if cfg.dataset_name == "sapien_multi":
+            return self.train_dataset.train_batches(seed=cfg.seed)
+        return self.train_dataset.ray_batches(cfg.batch_size, seed=cfg.seed)
+
+    def _steps_per_epoch(self) -> int:
+        cfg = self.cfg
+        if cfg.dataset_name == "sapien_multi":
+            return cfg.samples_per_epoch
+        return self.train_dataset.steps_per_epoch(cfg.batch_size)
+
+    def fit(self, resume: bool = False) -> None:
+        cfg = self.cfg
+        if resume:
+            try:
+                self.state = self.ckpt.restore(self.state)
+                self.global_step = int(self.state.step)
+                print(f"resumed from step {self.global_step}")
+            except FileNotFoundError:
+                print("no checkpoint to resume from; starting fresh")
+
+        it = self._train_iterator()
+        steps_per_epoch = self._steps_per_epoch()
+        rays_per_step = (
+            cfg.ray_batch_size if cfg.dataset_name == "sapien_multi" else cfg.batch_size
+        )
+        start_epoch = self.global_step // max(1, steps_per_epoch)
+
+        for epoch in range(start_epoch, cfg.num_epochs):
+            t_epoch = time.time()
+            n_rays = 0
+            for _ in range(steps_per_epoch):
+                if self.global_step >= cfg.run_max_steps:
+                    break
+                batch = next(it)
+                sharded = shard_ray_batch(batch, self.mesh)
+                key = jax.random.fold_in(self.base_key, self.global_step)
+                self.state, metrics = self.system.train_step(self.state, sharded, key)
+                self.global_step += 1
+                n_rays += rays_per_step
+                if self.global_step % cfg.log_every_n_steps == 0:
+                    metrics = {k: float(v) for k, v in metrics.items()}
+                    if math.isnan(metrics["train/loss"]):
+                        raise FloatingPointError(
+                            f"NaN loss at step {self.global_step} (detect_anomaly)"
+                        )
+                    metrics["train/lr"] = float(
+                        self.system.lr_schedule(self.global_step)
+                    )
+                    self.logger.log(self.global_step, metrics)
+
+            dt = time.time() - t_epoch
+            self.logger.log(
+                self.global_step,
+                {"epoch": epoch, "train/rays_per_sec": n_rays / max(dt, 1e-9)},
+                force_stdout=True,
+            )
+
+            if (epoch + 1) % cfg.check_val_every_n_epoch == 0:
+                val_psnr = self.validate(epoch)
+                self.ckpt.save_last(self.state, epoch)
+                if (epoch + 1) % cfg.ckpt_every_n_epochs == 0:
+                    self.ckpt.save_ranked(self.state, epoch, val_psnr)
+
+            if self.global_step >= cfg.run_max_steps:
+                break
+        self.ckpt.save_last(self.state, cfg.num_epochs - 1)
+
+    # ------------------------------------------------------------ validation
+
+    def _val_frames(self):
+        cfg = self.cfg
+        if cfg.dataset_name == "sapien_multi":
+            n = min(cfg.limit_val_batches, 5)
+            for i in range(n):
+                yield self.val_dataset.val_frame(seed=cfg.seed + i)
+        else:
+            n = min(cfg.limit_val_batches, len(self.val_dataset.img_files))
+            for i in range(n):
+                yield self.val_dataset.full_frame(i)
+
+    def _render_full(self, params, frame: Dict[str, np.ndarray], is_test: bool = False):
+        extra = {}
+        if self.cfg.exp_type in ("vanilla_autodecoder", "vanilla_ae_art"):
+            extra["instance_id"] = jax.numpy.asarray(frame["instance_id"])
+            extra["articulation_id"] = jax.numpy.asarray(frame["articulation_id"])
+            if is_test:
+                extra["is_test"] = True
+            if self.cfg.exp_type == "vanilla_ae_art":
+                extra.pop("instance_id", None)
+                extra.pop("articulation_id", None)
+                extra.pop("is_test", None)
+                extra["src_imgs"] = jax.numpy.asarray(frame["src_imgs"])[None]
+                extra["deg"] = jax.numpy.asarray(frame.get("deg", 0.0))
+        def chunk_fn(rays, **ex):
+            return self.system.render_chunk(params, rays, **ex)
+
+        return render_frame(chunk_fn, frame, self.mesh, self.cfg.chunk, **extra)
+
+    def validate(self, epoch: int) -> float:
+        psnrs, psnrs_obj = [], []
+        first_viz = None
+        for i, frame in enumerate(self._val_frames()):
+            ret = self._render_full(self.state.params, frame)
+            p = M.psnr(ret["comp_rgb"], frame["target"])
+            psnrs.append(p)
+            if "instance_mask" in frame:
+                psnrs_obj.append(
+                    M.psnr_masked(ret["comp_rgb"], frame["target"], frame["instance_mask"])
+                )
+            if first_viz is None:
+                w, h = frame.get("img_wh", self.cfg.img_wh)
+                first_viz = val_grid(
+                    (w, h), frame["target"], ret["comp_rgb"], ret.get("depth"), ret.get("acc")
+                )
+        val_psnr = float(np.mean(psnrs))
+        logs = {"val/psnr": val_psnr, "epoch": epoch}
+        if psnrs_obj:
+            logs["val/psnr_obj"] = float(np.nanmean(psnrs_obj))
+        self.logger.log(self.global_step, logs, force_stdout=True)
+        if first_viz is not None:
+            self.logger.log_image(
+                self.global_step, "val/GT_pred_rgb", first_viz, str(self.result_dir)
+            )
+        return val_psnr
+
+    # ------------------------------------------------------------------ test
+
+    def test(self, ckpt_name: Optional[str] = None) -> dict:
+        cfg = self.cfg
+        try:
+            self.state = self.ckpt.restore(self.state, ckpt_name or cfg.ckpt_path)
+        except FileNotFoundError as e:
+            print(f"warning: checkpoint not found ({e}); evaluating current params")
+
+        is_multi = cfg.dataset_name == "sapien_multi"
+        n_frames = len(self.test_dataset)
+        rgbs, targets, masks, depths = [], [], [], []
+        w, h = cfg.img_wh
+        for i in range(n_frames):
+            if is_multi:
+                frame = self.test_dataset.test_frame(i, seed=cfg.seed)
+            else:
+                frame = self.test_dataset.full_frame(i)
+            ret = self._render_full(self.state.params, frame, is_test=is_multi)
+            rgbs.append(ret["comp_rgb"].reshape(h, w, 3))
+            targets.append(np.asarray(frame["target"]).reshape(h, w, 3))
+            masks.append(np.asarray(frame["instance_mask"]).reshape(h, w))
+            if "depth" in ret:
+                depths.append(ret["depth"].reshape(h, w))
+            print(f"rendered test frame {i + 1}/{n_frames}", flush=True)
+
+        psnr_stats = M.summarize("PSNR", [M.psnr(p, t) for p, t in zip(rgbs, targets)])
+        ssim_stats = M.summarize("SSIM", [M.ssim(p, t) for p, t in zip(rgbs, targets)])
+        lpips_vals = [M.lpips(p, t) for p, t in zip(rgbs, targets)]
+        lpips_stats = (
+            M.summarize("LPIPS", lpips_vals) if any(v is not None for v in lpips_vals) else None
+        )
+        psnr_obj_stats = M.summarize(
+            "PSNR_obj", [M.psnr_masked(p, t, m) for p, t, m in zip(rgbs, targets, masks)]
+        )
+
+        from aon_tpu.eval.artifacts import store_image, store_video, write_stats
+
+        image_dir = os.path.join("ckpts", cfg.exp_name, cfg.render_name or "render")
+        store_image(image_dir, rgbs, "image")
+        if is_multi:
+            store_video(image_dir, rgbs)
+        write_stats(
+            os.path.join("ckpts", cfg.exp_name, "results.json"),
+            psnr_stats,
+            ssim_stats,
+            lpips_stats,
+            psnr_obj_stats,
+        )
+        results = {
+            "test/psnr": psnr_stats["test"],
+            "test/ssim": ssim_stats["test"],
+            "test/lpips": lpips_stats["test"] if lpips_stats else None,
+            "test/psnr_obj": psnr_obj_stats["test"],
+        }
+        self.logger.log(self.global_step, {k: v for k, v in results.items() if v is not None},
+                        force_stdout=True)
+        return results

@@ -1,0 +1,79 @@
+"""Benchmark: vanilla NeRF training throughput (rays/sec) on real hardware.
+
+Prints ONE JSON line:
+  {"metric": "train_rays_per_sec", "value": N, "unit": "rays/s",
+   "vs_baseline": R}
+
+``vs_baseline`` is measured against the reference's nominal single-GPU
+training rate.  The reference publishes no numbers (BASELINE.md), so the
+baseline constant below is the reference's by-construction workload — 2048
+rays/step at the measured step rate of the same MLP/sampling stack on one
+RTX2080Ti (the hardware the reference README quotes) estimated at ~25k
+rays/s; BASELINE.json's north star is >=10x the 8-GPU rate (~200k rays/s)
+on a v5e-8, i.e. vs_baseline >= 80 per chip-8 or ~10 per chip.
+"""
+
+import json
+import time
+
+import numpy as np
+
+# Estimated reference throughput (rays/s) for the vanilla config on its
+# quoted hardware (1x RTX2080Ti, README.md:43): 2048-ray steps of a
+# 64+193-sample 8x256 MLP pipeline. Not published upstream; documented here
+# as the fixed normalization constant for vs_baseline.
+REFERENCE_RAYS_PER_SEC = 25000.0
+
+
+def main() -> None:
+    import jax
+
+    from aon_tpu.parallel import get_mesh, shard_ray_batch
+    from aon_tpu.train.systems import VanillaSystem
+    from aon_tpu.utils.config import Config
+
+    batch = 8192
+    cfg = Config(batch_size=batch, compute_dtype="bfloat16")
+    mesh = get_mesh()
+    system = VanillaSystem(cfg, near=2.0, far=6.0, white_bkgd=True)
+    state = system.init_state(jax.random.PRNGKey(0))
+
+    g = np.random.default_rng(0)
+    d = g.normal(size=(batch, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    host_batch = {
+        "rays_o": (d * -4.0).astype(np.float32),
+        "rays_d": d,
+        "viewdirs": d,
+        "target": g.uniform(size=(batch, 3)).astype(np.float32),
+    }
+    sharded = shard_ray_batch(host_batch, mesh)
+
+    # warmup / compile (2 calls: trace cache must be warm for the timed loop)
+    key = jax.random.PRNGKey(1)
+    for i in range(2):
+        state, m = system.train_step(state, sharded, jax.random.fold_in(key, i))
+    jax.block_until_ready(m["train/loss"])
+
+    n_steps = 100
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        state, m = system.train_step(state, sharded, jax.random.fold_in(key, i))
+    jax.block_until_ready((m["train/loss"], state.params))
+    dt = time.perf_counter() - t0
+
+    rays_per_sec = batch * n_steps / dt
+    print(
+        json.dumps(
+            {
+                "metric": "train_rays_per_sec",
+                "value": round(rays_per_sec, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

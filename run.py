@@ -1,0 +1,29 @@
+"""aon_tpu runner — reference-compatible CLI surface.
+
+Same public surface as the reference ``run.py`` (``/root/reference/run.py``):
+
+    python run.py --config configs/nerf_training.json [flags]
+    python run.py --config configs/nerf_eval.json --run_eval --render_name X
+
+exp_type dispatch (run.py:20-34): vanilla | vanilla_autodecoder |
+vanilla_ae_art; output layout: results/{exp_name} checkpoints + metrics,
+ckpts/{exp_name}/{render_name} eval artifacts + results.json.
+"""
+
+from aon_tpu.parallel.mesh import maybe_initialize_distributed
+from aon_tpu.train.trainer import Trainer
+from aon_tpu.utils.config import get_config
+
+
+def main(cfg) -> None:
+    maybe_initialize_distributed()
+    trainer = Trainer(cfg)
+    if cfg.run_eval:
+        trainer.test()
+    else:
+        resume = cfg.ckpt_path is not None
+        trainer.fit(resume=resume)
+
+
+if __name__ == "__main__":
+    main(get_config())

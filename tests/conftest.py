@@ -17,6 +17,11 @@ if "xla_force_host_platform_device_count" not in flags:
 os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "highest")
 
 import jax  # noqa: E402
+
+# The image's axon sitecustomize force-registers the TPU backend regardless
+# of JAX_PLATFORMS; the programmatic override below wins.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -1,0 +1,195 @@
+"""Training-system tests: schedule math, state creation, step determinism,
+checkpoint roundtrip, end-to-end fit on the fixture dataset."""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_lr_schedule_reference_values():
+    """Exact values from the reference formula (model.py:391-419)."""
+    from aon_tpu.train.schedule import nerf_lr_schedule
+
+    sched = nerf_lr_schedule(5e-4, 5e-6, 2500, 0.01, 100000)
+
+    def ref(step):
+        delay = 0.01 + (1 - 0.01) * np.sin(0.5 * np.pi * np.clip(step / 2500, 0, 1))
+        t = np.clip(step / 100000, 0, 1)
+        return delay * np.exp(np.log(5e-4) * (1 - t) + np.log(5e-6) * t)
+
+    for step in [0, 100, 1250, 2500, 10000, 50000, 100000, 150000]:
+        np.testing.assert_allclose(float(sched(step)), ref(step), rtol=1e-5, err_msg=str(step))
+
+    # no-delay variant
+    sched2 = nerf_lr_schedule(5e-4, 5e-6, 0, 0.01, 100000)
+    np.testing.assert_allclose(float(sched2(0)), 5e-4, rtol=1e-5)
+
+
+def _host_batch(batch=64, seed=0):
+    g = np.random.default_rng(seed)
+    d = g.normal(size=(batch, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return {
+        "rays_o": (-4 * d).astype(np.float32),
+        "rays_d": d,
+        "viewdirs": d,
+        "target": g.uniform(size=(batch, 3)).astype(np.float32),
+    }
+
+
+def _vanilla_system(batch=64):
+    from aon_tpu.train.systems import VanillaSystem
+    from aon_tpu.utils.config import Config
+
+    cfg = Config(batch_size=batch, N_samples=8, N_importance=8, compute_dtype="float32")
+    return VanillaSystem(cfg, 2.0, 6.0, True)
+
+
+def test_vanilla_train_step_decreases_loss(eight_devices):
+    from aon_tpu.parallel import get_mesh, shard_ray_batch
+
+    mesh = get_mesh(8)
+    system = _vanilla_system()
+    state = system.init_state(jax.random.PRNGKey(0))
+    batch = shard_ray_batch(_host_batch(), mesh)
+    losses = []
+    for i in range(40):
+        state, m = system.train_step(state, batch, jax.random.fold_in(jax.random.PRNGKey(1), i))
+        losses.append(float(m["train/loss"]))
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 40
+
+
+def test_sharded_matches_single_device():
+    """Same batch, 1-device vs 8-device mesh: losses must agree closely
+    (the multi-chip correctness test from SURVEY.md §4)."""
+    from aon_tpu.parallel import get_mesh, shard_ray_batch
+
+    host = _host_batch(batch=64)
+    key = jax.random.PRNGKey(0)
+    results = []
+    for n_dev in (1, 8):
+        mesh = get_mesh(n_dev)
+        system = _vanilla_system()
+        state = system.init_state(key)
+        batch = shard_ray_batch(host, mesh)
+        for i in range(3):
+            state, m = system.train_step(state, batch, jax.random.fold_in(key, i))
+        results.append((float(m["train/loss"]), jax.tree.map(np.asarray, state.params)))
+    np.testing.assert_allclose(results[0][0], results[1][0], rtol=1e-5)
+    flat0 = jax.tree.leaves(results[0][1])
+    flat1 = jax.tree.leaves(results[1][1])
+    for a, b in zip(flat0, flat1):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_autodecoder_train_step_updates_latents(eight_devices):
+    from aon_tpu.parallel import get_mesh, shard_ray_batch
+    from aon_tpu.train.systems import AutoDecoderSystem
+    from aon_tpu.utils.config import Config
+
+    cfg = Config(
+        N_samples=8, N_importance=8, compute_dtype="float32", N_max_objs=4
+    )
+    mesh = get_mesh(8)
+    system = AutoDecoderSystem(cfg, 2.0, 6.0, False)
+    state = system.init_state(jax.random.PRNGKey(0))
+    host = _host_batch(batch=64)
+    host["instance_id"] = np.int32(1)
+    host["articulation_id"] = np.int32(2)
+    batch = shard_ray_batch(host, mesh)
+
+    tbl_before = np.asarray(
+        state.params["code_library"]["embedding_instance_shape"]["embedding"]
+    ).copy()
+    state, m = system.train_step(state, batch, jax.random.PRNGKey(1))
+    tbl_after = np.asarray(
+        state.params["code_library"]["embedding_instance_shape"]["embedding"]
+    )
+    # only the selected instance row moves
+    assert not np.allclose(tbl_before[1], tbl_after[1])
+    np.testing.assert_array_equal(tbl_before[0], tbl_after[0])
+    assert np.isfinite(float(m["train/loss"]))
+    assert float(m["train/loss/reg"]) > 0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from aon_tpu.train.checkpoint import CheckpointManager
+
+    system = _vanilla_system()
+    state = system.init_state(jax.random.PRNGKey(0))
+    mgr = CheckpointManager(str(tmp_path), save_top_k=2)
+    mgr.save_last(state, epoch=0)
+    mgr.save_ranked(state, epoch=0, val_psnr=20.0)
+    mgr.save_ranked(state, epoch=1, val_psnr=25.0)
+    mgr.save_ranked(state, epoch=2, val_psnr=22.0)
+    # top-2 retention: epoch 0 (psnr 20) evicted
+    names = {r["name"] for r in mgr._index["ranked"]}
+    assert names == {"epoch=1.ckpt", "epoch=2.ckpt"}
+    assert mgr.best()["epoch"] == 1
+
+    fresh = system.init_state(jax.random.PRNGKey(42))
+    restored = mgr.restore(fresh, "last.ckpt")
+    a = jax.tree.leaves(state.params)
+    b = jax.tree.leaves(restored.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+@pytest.mark.slow
+def test_cli_smoke_fit_and_eval(tmp_path):
+    """End-to-end: fixture dataset -> run.py fit -> run.py --run_eval."""
+    fixture = tmp_path / "data"
+    subprocess.run(
+        [sys.executable, str(REPO / "scripts/make_fixture_dataset.py"), str(fixture),
+         "--n", "3", "--wh", "32", "24"],
+        check=True,
+    )
+    cfg = {
+        "dataset_name": "sapien",
+        "root_dir": str(fixture),
+        "exp_name": "pytest_smoke",
+        "exp_type": "vanilla",
+        "img_wh": [32, 24],
+        "white_back": True,
+        "N_samples": 8,
+        "N_importance": 8,
+        "batch_size": 128,
+        "num_epochs": 1,
+        "run_max_steps": 10,
+        "log_every_n_steps": 5,
+        "compute_dtype": "float32",
+        "chunk": 768,
+        "output_path": str(tmp_path / "results"),
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    env = {
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+        "PATH": "/usr/bin:/bin:/usr/local/bin",
+        "HOME": "/root",
+    }
+    r = subprocess.run(
+        [sys.executable, str(REPO / "run.py"), "--config", str(cfg_path)],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True, timeout=1200,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (tmp_path / "results" / "pytest_smoke" / "last.ckpt").is_dir()
+
+    r2 = subprocess.run(
+        [sys.executable, str(REPO / "run.py"), "--config", str(cfg_path),
+         "--run_eval", "--render_name", "testren"],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True, timeout=1200,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    results = json.loads((tmp_path / "ckpts" / "pytest_smoke" / "results.json").read_text())
+    assert "PSNR" in results and "SSIM" in results
