@@ -1,0 +1,179 @@
+"""Auto-encoder articulated system (exp_type="vanilla_ae_art").
+
+Contract from reference ``models/vanilla_nerf/model_ae_art.py:209-418``:
+
+* latents come from a ResNet-34 multi-head encoder on the seg-masked source
+  image (``self.model.encode(src_imgs)``, :361);
+* joint state is regressed from the articulation latent
+  (``JointStateDecoder``, :366) with an MSE loss against the GT radians;
+* the NeRF conditions on a degree-indexed embedding (``nn.Embedding(91, 32)``
+  of round(rad2deg(deg)), :367-369) — ``embed_deg=True``;
+* photometric MSE is masked to instance pixels (:380-387);
+* opacity loss: 0.05 * BCEWithLogits(acc, mask) summed over both levels
+  (:397-408, 719-736 — note the reference feeds acc, already in [0,1],
+  as "logits"; reproduced faithfully);
+* activations: plain ReLU sigma, un-padded sigmoid rgb (:232-233, 289-292).
+
+Reference bug NOT reproduced: model_ae_art.py:294 unpacks 3 of 4 values
+from volumetric_rendering and would crash at runtime; we keep correct
+plumbing.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from aon_tpu.core.rendering import img2mse, mse2psnr
+from aon_tpu.models import ArticulatedNeRF, JointStateDecoder
+from aon_tpu.models.resnet import ImgEncoderMultiHeadArt
+from aon_tpu.train.systems import TrainState, _dtype, _rays_of, make_optimizer
+from aon_tpu.utils.config import Config
+
+OPACITY_LAMBDA = 0.05
+N_DEG_EMBEDDINGS = 91  # 0..90 inclusive (model_ae_art.py:240)
+
+
+def _bce_with_logits(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """torch BCEWithLogitsLoss (mean reduction)."""
+    return jnp.mean(
+        jnp.maximum(logits, 0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    )
+
+
+class DegEmbedding(nn.Module):
+    @nn.compact
+    def __call__(self, deg_idx: jnp.ndarray) -> jnp.ndarray:
+        tbl = nn.Embed(N_DEG_EMBEDDINGS, 32, name="deg_embedding")
+        return tbl(jnp.atleast_1d(deg_idx))
+
+
+class AutoEncoderSystem:
+    def __init__(self, cfg: Config, near: float, far: float, white_bkgd: bool):
+        self.cfg = cfg
+        self.near, self.far, self.white_bkgd = float(near), float(far), bool(white_bkgd)
+        self.model = ArticulatedNeRF(
+            num_coarse_samples=cfg.N_samples,
+            num_fine_samples=cfg.N_importance,
+            min_deg_point=0,
+            max_deg_point=cfg.N_emb_xyz,
+            deg_view=cfg.N_emb_dir,
+            noise_std=cfg.noise_std,
+            lindisp=cfg.lindisp,
+            sigma_activation="relu",
+            rgb_padding=0.0,
+            use_deg_embedding=True,
+            dtype=_dtype(cfg),
+        )
+        self.encoder = ImgEncoderMultiHeadArt(dtype=_dtype(cfg))
+        self.joint_state = JointStateDecoder()
+        self.deg_embedding = DegEmbedding()
+        self.tx, self.lr_schedule = make_optimizer(cfg)
+        self._build_steps()
+
+    def init_state(self, key: jax.Array) -> TrainState:
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        dummy_rays = {
+            "rays_o": jnp.zeros((2, 3)),
+            "rays_d": jnp.ones((2, 3)),
+            "viewdirs": jnp.ones((2, 3)),
+        }
+        dummy_latents = {
+            "density": jnp.zeros((1, 128)),
+            "color": jnp.zeros((1, 128)),
+            "articulation_deg": jnp.zeros((1, 32)),
+        }
+        w, h = self.cfg.img_wh
+        params = {
+            "model": self.model.init(
+                k1, dummy_rays, dummy_latents, k1, False, self.white_bkgd, self.near, self.far
+            )["params"],
+            "encoder": self.encoder.init(k2, jnp.zeros((1, 3, h, w)))["params"],
+            "joint_state": self.joint_state.init(k3, jnp.zeros((1, 32)))["params"],
+            "deg_embedding": self.deg_embedding.init(k4, jnp.array(0))["params"],
+        }
+        state = TrainState.create(apply_fn=self.model.apply, params=params, tx=self.tx)
+        return state.replace(step=jnp.asarray(0, jnp.int32))
+
+    def _encode(self, params, src_imgs, deg):
+        latents = self.encoder.apply({"params": params["encoder"]}, src_imgs)
+        pred_state = self.joint_state.apply(
+            {"params": params["joint_state"]}, latents["articulation"]
+        )
+        state_deg = jnp.clip(
+            jnp.round(jnp.rad2deg(deg)).astype(jnp.int32), 0, N_DEG_EMBEDDINGS - 1
+        )
+        latents["articulation_deg"] = self.deg_embedding.apply(
+            {"params": params["deg_embedding"]}, state_deg
+        )
+        return latents, pred_state
+
+    def _build_steps(self):
+        model = self.model
+        near, far, white_bkgd = self.near, self.far, self.white_bkgd
+
+        def loss_fn(params, batch, key):
+            src = batch["src_imgs"]
+            if src.ndim == 3:
+                src = src[None]
+            latents, pred_state = self._encode(params, src, batch["deg"])
+            out = model.apply(
+                {"params": params["model"]}, _rays_of(batch), latents, key, True,
+                white_bkgd, near, far,
+            )
+            mask = batch["instance_mask"].reshape(-1, 1)  # (B, 1) float
+            mask3 = jnp.broadcast_to(mask, batch["target"].shape)
+            denom = jnp.maximum(jnp.sum(mask3), 1.0)
+
+            def masked_mse(pred):
+                return jnp.sum(((pred - batch["target"]) ** 2) * mask3) / denom
+
+            loss0 = masked_mse(out[0][0])
+            loss1 = masked_mse(out[1][0])
+            loss_state = jnp.mean((pred_state - batch["deg"]) ** 2)
+            opacity = OPACITY_LAMBDA * (
+                _bce_with_logits(out[0][1], mask[:, 0])
+                + _bce_with_logits(out[1][1], mask[:, 0])
+            )
+            loss = loss0 + loss1 + loss_state + opacity
+            return loss, {
+                "loss0": loss0,
+                "loss1": loss1,
+                "loss_state": loss_state,
+                "opacity_loss": opacity,
+            }
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def train_step(state: TrainState, batch, key):
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, batch, key
+            )
+            state = state.apply_gradients(grads=grads)
+            metrics = {
+                "train/loss": loss,
+                "train/loss_state": aux["loss_state"],
+                "train/opacity_loss": aux["opacity_loss"],
+                "train/psnr0": mse2psnr(aux["loss0"]),
+                "train/psnr1": mse2psnr(aux["loss1"]),
+            }
+            return state, metrics
+
+        @jax.jit
+        def render_chunk(params, rays, src_imgs, deg):
+            latents, pred_state = self._encode(params, src_imgs, deg)
+            out = model.apply(
+                {"params": params["model"]}, rays, latents, None, False, white_bkgd, near, far
+            )
+            comp_rgb, acc, depth = out[1]
+            return {
+                "comp_rgb": comp_rgb,
+                "acc": acc,
+                "depth": depth,
+                "pred_state": jnp.broadcast_to(pred_state.reshape(-1)[:1], comp_rgb.shape[:1]),
+            }
+
+        self.train_step = train_step
+        self.render_chunk = render_chunk

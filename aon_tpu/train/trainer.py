@@ -46,6 +46,10 @@ class Trainer:
 
         ds_cls = dataset_dict[cfg.dataset_name]
         common = dict(root_dir=cfg.root_dir, img_wh=tuple(cfg.img_wh), white_back=cfg.white_back)
+        if cfg.dataset_name == "sapien_multi":
+            common.update(
+                samples_per_epoch=cfg.samples_per_epoch, ray_batch_size=cfg.ray_batch_size
+            )
         if cfg.run_eval:
             self.test_dataset = ds_cls(
                 split="test_val", eval_inference=cfg.render_name or "render", **common

@@ -1,0 +1,88 @@
+"""Auto-encoder system tests: encoder shapes, loss components, train step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def test_encoder_head_shapes():
+    from aon_tpu.models.resnet import ImgEncoderMultiHeadArt
+
+    enc = ImgEncoderMultiHeadArt()
+    x = jnp.zeros((2, 3, 48, 64))  # torch NCHW layout from the dataset
+    variables = enc.init(jax.random.PRNGKey(0), x)
+    out = enc.apply(variables, x)
+    assert out["color"].shape == (2, 128)
+    assert out["density"].shape == (2, 128)
+    assert out["articulation"].shape == (2, 32)
+    # resnet34 structure: shared trunk has layer1..3, heads own a layer4 copy
+    p = variables["params"]
+    assert "layer1" in p and "layer3" in p and "layer4" not in p
+    for head in ("color", "density", "articulation"):
+        assert f"{head}_layer4" in p and f"{head}_fc" in p
+    # layer1 has 3 blocks, layer2 has 4 (ResNet-34 plan)
+    assert "block2" in p["layer1"] and "block3" not in p["layer1"]
+    assert "block3" in p["layer2"]
+
+
+def test_encoder_view_aggregation():
+    from aon_tpu.models.resnet import ImgEncoderMultiHeadArt
+
+    outs = [
+        {"color": jnp.ones((1, 4)), "articulation": jnp.zeros((1, 2))},
+        {"color": jnp.zeros((1, 4)), "articulation": jnp.ones((1, 2))},
+    ]
+    agg = ImgEncoderMultiHeadArt.aggregate_views(outs, "mean")
+    np.testing.assert_allclose(np.asarray(agg["color"]), 0.5)
+    agg_max = ImgEncoderMultiHeadArt.aggregate_views(outs, "max")
+    np.testing.assert_allclose(np.asarray(agg_max["color"]), 1.0)
+
+
+def test_bce_with_logits_matches_formula():
+    from aon_tpu.train.system_ae import _bce_with_logits
+
+    x = jnp.array([0.3, 0.9, 0.0, 1.0])
+    z = jnp.array([1.0, 1.0, 0.0, 0.0])
+    expected = np.mean(
+        np.maximum(x, 0) - np.asarray(x) * np.asarray(z) + np.log1p(np.exp(-np.abs(x)))
+    )
+    np.testing.assert_allclose(float(_bce_with_logits(x, z)), expected, rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_ae_train_step(eight_devices):
+    from aon_tpu.parallel import get_mesh, shard_ray_batch
+    from aon_tpu.train.system_ae import AutoEncoderSystem
+    from aon_tpu.utils.config import Config
+
+    cfg = Config(
+        N_samples=4, N_importance=4, compute_dtype="float32", img_wh=[32, 24]
+    )
+    mesh = get_mesh(8)
+    system = AutoEncoderSystem(cfg, 2.0, 6.0, False)
+    state = system.init_state(jax.random.PRNGKey(0))
+
+    g = np.random.default_rng(0)
+    B = 64
+    d = g.normal(size=(B, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    host = {
+        "rays_o": (-4 * d).astype(np.float32),
+        "rays_d": d,
+        "viewdirs": d,
+        "target": g.uniform(size=(B, 3)).astype(np.float32),
+        "instance_mask": (g.uniform(size=(B, 1)) > 0.5).astype(np.float32),
+        "src_imgs": g.normal(size=(3, 24, 32)).astype(np.float32),
+        "deg": np.float32(np.deg2rad(40.0)),
+    }
+    batch = shard_ray_batch(host, mesh)
+    state, m = system.train_step(state, batch, jax.random.PRNGKey(1))
+    for k in ("train/loss", "train/loss_state", "train/opacity_loss"):
+        assert np.isfinite(float(m[k])), k
+    # second step must not retrace-crash and should change encoder params
+    p0 = [np.asarray(x).copy() for x in jax.tree.leaves(state.params["encoder"])]
+    state, m = system.train_step(state, batch, jax.random.PRNGKey(2))
+    p1 = [np.asarray(x) for x in jax.tree.leaves(state.params["encoder"])]
+    total_delta = sum(float(np.abs(a - b).sum()) for a, b in zip(p0, p1))
+    assert total_delta > 0.0
