@@ -127,16 +127,25 @@ class SapienDataset:
     def ray_batches(
         self, batch_size: int, seed: int = 0
     ) -> Iterator[Dict[str, np.ndarray]]:
-        """Infinite stream of uniform-random fixed-shape ray batches."""
+        """Infinite stream of uniform-random fixed-shape ray batches.
+
+        The gather runs through the native C++ helper when available
+        (aon_tpu/native), with a numpy fallback.
+        """
+        from aon_tpu import native
+
         g = np.random.default_rng(seed)
         n = len(self.all_rays_o)
         while True:
             idx = g.integers(0, n, size=batch_size)
+            rays_o, viewdirs, rgbs = native.ray_batch_gather(
+                self.all_rays_o, self.all_viewdirs, self.all_rgbs, idx
+            )
             yield {
-                "rays_o": self.all_rays_o[idx],
-                "rays_d": self.all_viewdirs[idx],  # normalized (parity contract)
-                "viewdirs": self.all_viewdirs[idx],
-                "target": self.all_rgbs[idx],
+                "rays_o": rays_o,
+                "rays_d": viewdirs,  # normalized (parity contract)
+                "viewdirs": viewdirs,
+                "target": rgbs,
             }
 
     def steps_per_epoch(self, batch_size: int) -> int:

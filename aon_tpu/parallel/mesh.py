@@ -68,19 +68,34 @@ def pad_to_multiple(x: np.ndarray, multiple: int, axis: int = 0) -> np.ndarray:
     return np.pad(x, pad_width, mode="edge")
 
 
-def shard_ray_batch(batch: Dict[str, np.ndarray], mesh: Mesh) -> Dict[str, jax.Array]:
+def shard_ray_batch(
+    batch: Dict[str, np.ndarray], mesh: Mesh, microbatch: Optional[int] = None
+) -> Dict[str, jax.Array]:
     """Device-put a host batch with rays sharded over the mesh.
 
     Scalar / per-batch entries (deg, instance_id, src_imgs, ...) are
     replicated; everything with a leading ray axis is sharded.
+
+    When ``microbatch`` is given, ray entries are reshaped host-side to
+    ``(k, microbatch, ...)`` and sharded ``P(None, "data")`` — each
+    microbatch row spans all chips, so a ``lax.scan`` over axis 0 inside
+    the train step (see train/microbatch.py) stays data-parallel.
     """
     rs = ray_sharding(mesh)
     rep = replicated_sharding(mesh)
+    micro_sharding = NamedSharding(mesh, P(None, DATA_AXIS))
     n_dev = mesh.devices.size
     out = {}
     for k, v in batch.items():
         v = np.asarray(v)
-        if v.ndim >= 1 and v.shape[0] % n_dev == 0 and v.shape[0] >= n_dev:
+        is_ray = v.ndim >= 1 and v.shape[0] % n_dev == 0 and v.shape[0] >= n_dev
+        if is_ray and microbatch is not None:
+            n = v.shape[0]
+            m = min(microbatch, n)
+            if n % m != 0:
+                raise ValueError(f"batch axis {n} not divisible by microbatch {m} ({k})")
+            out[k] = jax.device_put(v.reshape(n // m, m, *v.shape[1:]), micro_sharding)
+        elif is_ray:
             out[k] = jax.device_put(v, rs)
         else:
             out[k] = jax.device_put(v, rep)

@@ -1,0 +1,73 @@
+"""Microbatched gradient accumulation + scan-chunked rendering.
+
+Two jobs:
+  1. Keep per-compile sample counts bounded: the TPU backend's regalloc
+     trips a RET_CHECK (live_range_finder.cc:29) compiling this MLP above
+     ~0.5M samples per call; bounded microbatch bodies sidestep that and
+     keep peak HBM flat as ray batches grow.
+  2. Gradient accumulation with exact mean semantics: equal-size microbatch
+     MSE means average to the full-batch mean.
+
+Layout contract: ray-axis entries arrive stacked as ``(k, m, ...)`` with the
+SECOND axis sharded over the mesh "data" axis (see
+``parallel.shard_ray_batch(..., microbatch=)``) — so every microbatch spans
+all chips and ``lax.scan`` over axis 0 preserves data parallelism.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import jax
+import jax.numpy as jnp
+
+# batch entries carrying a per-ray leading axis (everything else is shared)
+RAY_KEYS = ("rays_o", "rays_d", "viewdirs", "target", "instance_mask", "radii")
+
+
+def accumulated_grads(loss_fn: Callable, params, batch: Dict, key: jax.Array):
+    """Mean (loss, aux, grads) over stacked microbatches.
+
+    ``batch``: ray entries (k, m, ...), shared entries as-is.
+    ``loss_fn(params, flat_batch, key) -> (loss, aux_dict)`` sees (m, ...)
+    ray entries.
+    """
+    ray_parts = {n: v for n, v in batch.items() if n in RAY_KEYS}
+    shared = {n: v for n, v in batch.items() if n not in RAY_KEYS}
+
+    if next(iter(ray_parts.values())).ndim == batch["rays_o"].ndim == 2:
+        # flat (unstacked) batch: single microbatch
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, batch, key)
+        return loss, aux, grads
+
+    k = next(iter(ray_parts.values())).shape[0]
+
+    if k == 1:
+        mb = dict(shared, **{n: v[0] for n, v in ray_parts.items()})
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, mb, key)
+        return loss, aux, grads
+
+    keys = jax.random.split(key, k)
+
+    def body(carry, xs):
+        grads_acc, loss_acc, aux_acc = carry
+        mb_key, mb_rays = xs
+        mb = dict(shared, **mb_rays)
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, mb, mb_key)
+        grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+        return (grads_acc, loss_acc + loss, jax.tree.map(jnp.add, aux_acc, aux)), None
+
+    zero_grads = jax.tree.map(jnp.zeros_like, params)
+    mb0 = dict(shared, **{n: v[0] for n, v in ray_parts.items()})
+    _, aux_proto = jax.eval_shape(loss_fn, params, mb0, keys[0])
+    zero_aux = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), aux_proto)
+
+    (grads, loss, aux), _ = jax.lax.scan(
+        body, (zero_grads, jnp.zeros(()), zero_aux), (keys, ray_parts)
+    )
+    inv_k = 1.0 / k
+    return (
+        loss * inv_k,
+        jax.tree.map(lambda a: a * inv_k, aux),
+        jax.tree.map(lambda g: g * inv_k, grads),
+    )

@@ -30,6 +30,7 @@ import flax.linen as nn
 from aon_tpu.core.rendering import img2mse, mse2psnr
 from aon_tpu.models import ArticulatedNeRF, JointStateDecoder
 from aon_tpu.models.resnet import ImgEncoderMultiHeadArt
+from aon_tpu.train.microbatch import accumulated_grads
 from aon_tpu.train.systems import TrainState, _dtype, _rays_of, make_optimizer
 from aon_tpu.utils.config import Config
 
@@ -148,9 +149,7 @@ class AutoEncoderSystem:
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, batch, key):
-            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params, batch, key
-            )
+            loss, aux, grads = accumulated_grads(loss_fn, state.params, batch, key)
             state = state.apply_gradients(grads=grads)
             metrics = {
                 "train/loss": loss,

@@ -29,6 +29,7 @@ from flax.training import train_state
 
 from aon_tpu.core.rendering import img2mse, mse2psnr
 from aon_tpu.models import ArticulatedNeRF, CodeLibraryArticulated, VanillaNeRF
+from aon_tpu.train.microbatch import accumulated_grads
 from aon_tpu.train.schedule import nerf_lr_schedule
 from aon_tpu.utils.config import Config
 
@@ -55,8 +56,9 @@ def _rays_of(batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
 class VanillaSystem:
     """exp_type="vanilla": single-scene NeRF on sharded ray batches."""
 
-    def __init__(self, cfg: Config, near: float, far: float, white_bkgd: bool):
+    def __init__(self, cfg: Config, near: float, far: float, white_bkgd: bool, mesh=None):
         self.cfg = cfg
+        self.mesh = mesh
         self.near, self.far, self.white_bkgd = float(near), float(far), bool(white_bkgd)
         self.model = VanillaNeRF(
             num_coarse_samples=cfg.N_samples,
@@ -98,9 +100,7 @@ class VanillaSystem:
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, batch, key):
-            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params, batch, key
-            )
+            loss, aux, grads = accumulated_grads(loss_fn, state.params, batch, key)
             state = state.apply_gradients(grads=grads)
             metrics = {
                 "train/loss": loss,
@@ -116,7 +116,18 @@ class VanillaSystem:
             return {"comp_rgb": comp_rgb, "acc": acc, "depth": depth}
 
         self.train_step = train_step
-        self.render_chunk = render_chunk
+        if self.cfg.use_pallas and jax.default_backend() == "tpu":
+            from aon_tpu.ops.render_pallas import make_fused_render_fn
+
+            fused = make_fused_render_fn(
+                self.mesh, near, far, white_bkgd,
+                num_coarse=self.cfg.N_samples, num_fine=self.cfg.N_importance,
+                max_deg=self.cfg.N_emb_xyz, deg_view=self.cfg.N_emb_dir,
+                lindisp=self.cfg.lindisp,
+            )
+            self.render_chunk = lambda params, rays: fused(params, rays)
+        else:
+            self.render_chunk = render_chunk
 
     def render_latents_for_eval(self, params, batch, is_test=False):
         return None  # vanilla has no latents
@@ -209,9 +220,7 @@ class AutoDecoderSystem:
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, batch, key):
-            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params, batch, key
-            )
+            loss, aux, grads = accumulated_grads(loss_fn, state.params, batch, key)
             state = state.apply_gradients(grads=grads)
             metrics = {
                 "train/loss": loss,
@@ -237,9 +246,9 @@ class AutoDecoderSystem:
         self.render_chunk = render_chunk
 
 
-def build_system(cfg: Config, near: float, far: float, white_bkgd: bool):
+def build_system(cfg: Config, near: float, far: float, white_bkgd: bool, mesh=None):
     if cfg.exp_type == "vanilla":
-        return VanillaSystem(cfg, near, far, white_bkgd)
+        return VanillaSystem(cfg, near, far, white_bkgd, mesh=mesh)
     if cfg.exp_type == "vanilla_autodecoder":
         return AutoDecoderSystem(cfg, near, far, white_bkgd)
     if cfg.exp_type == "vanilla_ae_art":

@@ -60,7 +60,7 @@ class Trainer:
             self.val_dataset = ds_cls(split="val", **common)
             near, far, wb = self.train_dataset.near, self.train_dataset.far, cfg.white_back
 
-        self.system = build_system(cfg, near, far, wb)
+        self.system = build_system(cfg, near, far, wb, mesh=self.mesh)
         self.ckpt = CheckpointManager(str(self.result_dir), save_top_k=cfg.save_top_k)
         self.logger = MetricLogger(str(self.result_dir), stdout_every=cfg.log_every_n_steps)
 
@@ -107,7 +107,7 @@ class Trainer:
                 if self.global_step >= cfg.run_max_steps:
                     break
                 batch = next(it)
-                sharded = shard_ray_batch(batch, self.mesh)
+                sharded = shard_ray_batch(batch, self.mesh, microbatch=cfg.microbatch_rays)
                 key = jax.random.fold_in(self.base_key, self.global_step)
                 self.state, metrics = self.system.train_step(self.state, sharded, key)
                 self.global_step += 1

@@ -47,19 +47,23 @@ def main() -> None:
         "viewdirs": d,
         "target": g.uniform(size=(batch, 3)).astype(np.float32),
     }
-    sharded = shard_ray_batch(host_batch, mesh)
+    sharded = shard_ray_batch(host_batch, mesh, microbatch=cfg.microbatch_rays)
 
-    # warmup / compile (2 calls: trace cache must be warm for the timed loop)
+    # warmup / compile (3 calls: trace cache must be warm for the timed loop)
     key = jax.random.PRNGKey(1)
-    for i in range(2):
+    for i in range(3):
         state, m = system.train_step(state, sharded, jax.random.fold_in(key, i))
-    jax.block_until_ready(m["train/loss"])
+        _ = float(m["train/loss"])
 
-    n_steps = 100
+    # NOTE: per-step host readback of the scalar loss — through the axon
+    # relay, block_until_ready alone acks before execution completes, which
+    # inflates throughput ~1000x.  The readback makes timing honest (and
+    # costs one scalar RTT per step, slightly UNDER-stating peak rate).
+    n_steps = 20
     t0 = time.perf_counter()
     for i in range(n_steps):
-        state, m = system.train_step(state, sharded, jax.random.fold_in(key, i))
-    jax.block_until_ready((m["train/loss"], state.params))
+        state, m = system.train_step(state, sharded, jax.random.fold_in(key, 10 + i))
+        _ = float(m["train/loss"])
     dt = time.perf_counter() - t0
 
     rays_per_sec = batch * n_steps / dt

@@ -1,0 +1,178 @@
+"""SAPIEN dataset generation (offline, CPU-side — not a TPU workload).
+
+Preserves the reference's public surface (``datagen/data_gen.py:6-32``):
+
+    python datagen/data_gen.py --config config/data_gen_random_pose.json
+
+JSON config keys (validated like the reference): ``urdf_file``,
+``output_dir``, ``resolution`` [w, h]; optional ``render_pose_path``
+(replay-from-saved-poses mode, data_gen.py:244-288 analogue), ``splits``
+(default {train: 100, test: 50, val: 50}), ``joint_degrees`` (articulated
+sweep, writes ``{deg}_degree`` subtrees), ``seed``.
+
+Camera: fovy 35 degrees, near 0.1 far 100, random sphere poses radius
+4 +/- 0.5 looking at the object (data_gen.py:57-67, 79-83).
+
+The SAPIEN engine import is gated: this image does not ship the ``sapien``
+pip package, so invoking rendering raises a clear error; the pose math and
+transforms.json layout are importable and tested regardless
+(see datagen/data_utils.py and tests/test_datagen.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+from typing import Dict, Optional
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from datagen.data_utils import (  # noqa: E402
+    look_at_c2w,
+    mask_rgba,
+    sample_sphere_points,
+    write_transforms,
+)
+
+FOVY_DEG = 35.0
+NEAR, FAR = 0.1, 100.0
+DEFAULT_SPLITS = {"train": 100, "test": 50, "val": 50}
+
+
+def parse_config(path: str) -> Dict:
+    with open(path) as fh:
+        cfg = json.load(fh)
+    required = ["urdf_file", "output_dir"]
+    missing = [k for k in required if k not in cfg]
+    if missing:
+        raise ValueError(
+            f"Required argument(s) {', '.join(missing)} not found in the JSON configuration"
+        )
+    cfg.setdefault("resolution", [640, 480])
+    cfg.setdefault("splits", DEFAULT_SPLITS)
+    cfg.setdefault("seed", 0)
+    return cfg
+
+
+def focal_from_fovy(height: int, fovy_deg: float = FOVY_DEG) -> float:
+    return 0.5 * height / math.tan(0.5 * math.radians(fovy_deg))
+
+
+def generate_poses(cfg: Dict) -> Dict[str, np.ndarray]:
+    """Per-split (n, 4, 4) c2w pose arrays (random-sphere or replayed)."""
+    if cfg.get("render_pose_path"):
+        poses = np.load(cfg["render_pose_path"])
+        return {"render": poses}
+    out = {}
+    seed = cfg["seed"]
+    for split, n in cfg["splits"].items():
+        pts = sample_sphere_points(n, seed=seed)
+        out[split] = np.stack([look_at_c2w(p) for p in pts])
+        seed += 1
+    return out
+
+
+def render_with_sapien(cfg: Dict) -> None:
+    """Offscreen URDF rendering via the SAPIEN engine (external C++ pkg)."""
+    try:
+        import sapien.core as sapien
+    except ImportError as e:
+        raise RuntimeError(
+            "The 'sapien' package is not installed in this image. Dataset "
+            "generation needs it; install sapien on a CPU machine and re-run. "
+            "Pose generation and the output layout are available without it "
+            "(generate_poses / write_transforms)."
+        ) from e
+
+    w, h = cfg["resolution"]
+    engine = sapien.Engine()
+    renderer = sapien.SapienRenderer(offscreen_only=True)
+    engine.set_renderer(renderer)
+    scene = engine.create_scene()
+    scene.set_timestep(1 / 100.0)
+    scene.set_ambient_light([0.5, 0.5, 0.5])
+    scene.add_directional_light([0, 1, -1], [0.9, 0.9, 0.9])
+
+    loader = scene.create_urdf_loader()
+    loader.fix_root_link = True
+    asset = loader.load_kinematic(cfg["urdf_file"])
+    if asset is None:
+        raise RuntimeError(f"failed to load URDF: {cfg['urdf_file']}")
+
+    joint_degrees = cfg.get("joint_degrees", [None])
+    poses_by_split = generate_poses(cfg)
+
+    cam = scene.add_camera("cam", width=w, height=h, fovy=math.radians(FOVY_DEG),
+                           near=NEAR, far=FAR)
+    focal = cam.fy if hasattr(cam, "fy") else focal_from_fovy(h)
+
+    for deg in joint_degrees:
+        if deg is not None:
+            qpos = np.zeros(asset.dof)
+            qpos[0] = math.radians(deg)
+            asset.set_qpos(qpos)
+        for split, poses in poses_by_split.items():
+            if deg is None:
+                base = os.path.join(cfg["output_dir"], split)
+            else:
+                base = os.path.join(cfg["output_dir"], split, f"{deg}_degree")
+            os.makedirs(os.path.join(base, "rgb"), exist_ok=True)
+            os.makedirs(os.path.join(base, "seg"), exist_ok=True)
+            os.makedirs(os.path.join(base, "depth"), exist_ok=True)
+            frames = {}
+            for i, c2w in enumerate(poses):
+                cam.set_pose(sapien.Pose.from_transformation_matrix(c2w))
+                scene.step()
+                scene.update_render()
+                cam.take_picture()
+                rgba = (cam.get_float_texture("Color") * 255).astype(np.uint8)
+                seg = cam.get_uint32_texture("Segmentation")[..., 1]
+                position = cam.get_float_texture("Position")
+                from datagen.data_utils import depth_to_uint16
+
+                from PIL import Image
+
+                rgba = mask_rgba(rgba, seg > 0)
+                name = f"r_{i}"
+                Image.fromarray(rgba, "RGBA").save(os.path.join(base, "rgb", f"{name}.png"))
+                Image.fromarray((seg > 0).astype(np.uint8) * 255, "L").save(
+                    os.path.join(base, "seg", f"{name}.png")
+                )
+                Image.fromarray(depth_to_uint16(position[..., 2]), "I;16").save(
+                    os.path.join(base, "depth", f"{name}.png")
+                )
+                frames[name] = c2w
+            write_transforms(os.path.join(base, "transforms.json"), frames, focal=focal)
+    print(f"wrote dataset under {cfg['output_dir']}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument(
+        "--poses_only", action="store_true",
+        help="only write per-split pose .npy + transforms.json (no SAPIEN needed)",
+    )
+    args = ap.parse_args()
+    cfg = parse_config(args.config)
+
+    if args.poses_only:
+        for split, poses in generate_poses(cfg).items():
+            base = os.path.join(cfg["output_dir"], split)
+            os.makedirs(base, exist_ok=True)
+            np.save(os.path.join(base, "poses.npy"), poses)
+            frames = {f"r_{i}": poses[i] for i in range(len(poses))}
+            focal = focal_from_fovy(cfg["resolution"][1])
+            write_transforms(os.path.join(base, "transforms.json"), frames, focal=focal)
+        print(f"wrote poses under {cfg['output_dir']}")
+        return
+    render_with_sapien(cfg)
+
+
+if __name__ == "__main__":
+    main()
