@@ -80,3 +80,29 @@ class CheckpointManager:
 
     def best(self) -> Optional[dict]:
         return self._index["ranked"][0] if self._index["ranked"] else None
+
+
+def extract_model_params(tree: Any, prefix: str = "model") -> Any:
+    """Pull one params subtree out of a checkpointed params dict — the
+    analogue of the reference's ``extract_model_state_dict`` prefix surgery
+    (utils/__init__.py:117-131); with pytrees this is a key lookup."""
+    return tree[prefix] if isinstance(tree, dict) and prefix in tree else tree
+
+
+def load_latent_codes(directory: str, name: str = "last.ckpt") -> Any:
+    """Restore only the auto-decoder latent tables from a checkpoint
+    (reference ``load_latent_codes``, utils/__init__.py:140-147).
+
+    Returns the ``code_library`` params subtree as host numpy arrays.
+    """
+    import os
+
+    import orbax.checkpoint as ocp
+
+    path = os.path.join(directory, name)
+    ckptr = ocp.PyTreeCheckpointer()
+    tree = ckptr.restore(path)
+    params = tree["params"] if "params" in tree else tree
+    if "code_library" not in params:
+        raise KeyError(f"no code_library subtree in checkpoint {path}")
+    return jax.tree.map(np.asarray, params["code_library"])

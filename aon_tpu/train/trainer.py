@@ -234,10 +234,17 @@ class Trainer:
             "PSNR_obj", [M.psnr_masked(p, t, m) for p, t, m in zip(rgbs, targets, masks)]
         )
 
-        from aon_tpu.eval.artifacts import store_image, store_video, write_stats
+        from aon_tpu.eval.artifacts import (
+            store_depth_img,
+            store_image,
+            store_video,
+            write_stats,
+        )
 
         image_dir = os.path.join("ckpts", cfg.exp_name, cfg.render_name or "render")
         store_image(image_dir, rgbs, "image")
+        if depths:
+            store_depth_img(image_dir, depths, "depth")
         if is_multi:
             store_video(image_dir, rgbs)
         write_stats(

@@ -1,0 +1,95 @@
+"""Metric + artifact tests."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from aon_tpu.eval import metrics as M
+from aon_tpu.eval.artifacts import store_depth_img, store_image, store_video, write_stats
+from aon_tpu.utils.viz import val_grid
+
+
+def test_psnr_known_value():
+    a = np.full((8, 8, 3), 0.5, np.float32)
+    b = np.full((8, 8, 3), 0.6, np.float32)
+    np.testing.assert_allclose(M.psnr(a, b), 20.0, rtol=1e-4)
+    assert M.psnr(a, a) > 80
+
+
+def test_psnr_masked_selects_pixels(rng):
+    pred = np.zeros((4, 4, 3), np.float32)
+    gt = np.zeros((4, 4, 3), np.float32)
+    gt[0, 0] = 1.0  # error only in one pixel
+    mask_hit = np.zeros((4, 4), bool)
+    mask_hit[0, 0] = True
+    mask_miss = ~mask_hit
+    assert M.psnr_masked(pred, gt, mask_hit) == pytest.approx(0.0, abs=1e-4)
+    assert M.psnr_masked(pred, gt, mask_miss) > 80
+    assert np.isnan(M.psnr_masked(pred, gt, np.zeros((4, 4), bool)))
+
+
+def test_ssim_properties(rng):
+    img = rng.uniform(size=(64, 64, 3)).astype(np.float32)
+    assert M.ssim(img, img) == pytest.approx(1.0, abs=1e-4)
+    noisy = np.clip(img + rng.normal(0, 0.2, img.shape).astype(np.float32), 0, 1)
+    s_noisy = M.ssim(img, noisy)
+    assert 0 < s_noisy < 0.95
+    # more noise -> lower ssim
+    noisier = np.clip(img + rng.normal(0, 0.5, img.shape).astype(np.float32), 0, 1)
+    assert M.ssim(img, noisier) < s_noisy
+
+
+def test_lpips_gated_returns_none_without_weights(monkeypatch):
+    import aon_tpu.eval.lpips as L
+
+    L.lpips_fn.cache_clear()
+    monkeypatch.delenv("AON_LPIPS_WEIGHTS", raising=False)
+    monkeypatch.setattr(L, "_weights_path", lambda: None)
+    assert M.lpips(np.zeros((8, 8, 3)), np.zeros((8, 8, 3))) is None
+    L.lpips_fn.cache_clear()
+
+
+def test_summarize_skips_none_and_nan():
+    s = M.summarize("PSNR", [10.0, None, float("nan"), 20.0])
+    assert s["mean"] == pytest.approx(15.0)
+    assert s["test"] == pytest.approx(15.0)
+
+
+def test_artifact_writers(tmp_path, rng):
+    rgbs = [rng.uniform(size=(12, 16, 3)).astype(np.float32) for _ in range(3)]
+    paths = store_image(str(tmp_path), rgbs, "image")
+    assert len(paths) == 3 and all(os.path.exists(p) for p in paths)
+    assert paths[0].endswith("image000.jpg")
+
+    depths = [rng.uniform(2, 6, size=(12, 16)).astype(np.float32) for _ in range(2)]
+    dpaths = store_depth_img(str(tmp_path), depths)
+    assert len(dpaths) == 2 and all(os.path.exists(p) for p in dpaths)
+
+    store_video(str(tmp_path), rgbs)  # may fall back to frames; must not raise
+
+    write_stats(
+        str(tmp_path / "results.json"),
+        {"name": "PSNR", "mean": 30.0, "test": 30.0},
+        None,
+        {"name": "LPIPS", "mean": None, "test": None},
+    )
+    data = json.loads((tmp_path / "results.json").read_text())
+    assert data["PSNR"]["test"] == 30.0
+    assert data["LPIPS"]["test"] is None
+
+
+def test_val_grid_panels(rng):
+    w, h = 16, 12
+    n = h * w
+    grid = val_grid(
+        (w, h),
+        rng.uniform(size=(n, 3)),
+        rng.uniform(size=(n, 3)),
+        rng.uniform(2, 6, size=(n,)),
+        rng.uniform(size=(n,)),
+    )
+    assert grid.shape == (h, w * 4, 3)
+    grid2 = val_grid((w, h), rng.uniform(size=(n, 3)), rng.uniform(size=(n, 3)))
+    assert grid2.shape == (h, w * 2, 3)
