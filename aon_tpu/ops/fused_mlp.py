@@ -41,6 +41,13 @@ COND_WIDTH = 128
 TILE = 512  # samples per grid step
 
 
+def _interpret() -> bool:
+    """Interpreter mode for CPU testing (env AON_PALLAS_INTERPRET=1)."""
+    import os
+
+    return os.environ.get("AON_PALLAS_INTERPRET", "0") == "1"
+
+
 def pack_vanilla_mlp_params(params: Dict, dtype=jnp.bfloat16) -> Dict[str, jnp.ndarray]:
     """Pack a NeRFMLP params subtree (flax, from models/mlp.py) for the kernel.
 
@@ -83,19 +90,14 @@ _WEIGHT_ORDER = (
 )
 
 
-def _kernel(enc_ref, venc_ref, *refs):
-    weight_refs = refs[:-1]
-    out_ref = refs[-1]
-    w = dict(zip(_WEIGHT_ORDER, weight_refs))
-    dtype = w["w0"].dtype
+def _mlp_body(enc, venc, w, out_ref):
+    """Shared trunk+heads body; enc (T, 64) and venc (T, 32) in compute dtype."""
+    dtype = enc.dtype
 
     def dot(a, b):
         return jax.lax.dot_general(
             a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
-
-    enc = enc_ref[...].astype(dtype)  # (T, 64)
-    venc = venc_ref[...].astype(dtype)  # (T, 32)
 
     h = jnp.maximum(dot(enc, w["w0"][...]) + w["b0"][...], 0.0).astype(dtype)
     for i in (1, 2, 3, 4):
@@ -113,8 +115,37 @@ def _kernel(enc_ref, venc_ref, *refs):
         dot(bottleneck, w["wva"][...]) + dot(venc, w["wvb"][...]) + w["bv"][...], 0.0
     ).astype(dtype)
     rgb = dot(v, w["wrgb"][...]) + w["brgb"][...]  # (T, 3) fp32
-
     out_ref[...] = jnp.concatenate([rgb, sigma], axis=-1)
+
+
+def _kernel(enc_ref, venc_ref, *refs):
+    weight_refs = refs[:-1]
+    out_ref = refs[-1]
+    w = dict(zip(_WEIGHT_ORDER, weight_refs))
+    dtype = w["w0"].dtype
+
+    enc = enc_ref[...].astype(dtype)  # (T, 64)
+    venc = venc_ref[...].astype(dtype)  # (T, 32)
+    _mlp_body(enc, venc, w, out_ref)
+
+
+def _kernel_per_ray(enc_ref, venc_ref, *refs):
+    """venc arrives per-RAY (R, 32); repeated to per-sample in VMEM —
+    saving the N x 32 HBM stream of the flat variant."""
+    weight_refs = refs[:-1]
+    out_ref = refs[-1]
+    w = dict(zip(_WEIGHT_ORDER, weight_refs))
+    dtype = w["w0"].dtype
+
+    enc = enc_ref[...].astype(dtype)  # (R*S, 64)
+    venc_rays = venc_ref[...].astype(dtype)  # (R, 32)
+    repeats = enc.shape[0] // venc_rays.shape[0]
+    # broadcast+reshape instead of jnp.repeat (repeat lowers to scatter,
+    # which Mosaic doesn't implement)
+    venc = jnp.broadcast_to(
+        venc_rays[:, None, :], (venc_rays.shape[0], repeats, venc_rays.shape[1])
+    ).reshape(enc.shape[0], venc_rays.shape[1])
+    _mlp_body(enc, venc, w, out_ref)
 
 
 @functools.partial(jax.jit, static_argnames=("tile",))
@@ -150,6 +181,7 @@ def fused_nerf_mlp(
     grid = (n_pad // tile,)
     out = pl.pallas_call(
         _kernel,
+        interpret=_interpret(),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile, POS_PAD), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -166,3 +198,58 @@ def fused_nerf_mlp(
         ),
     )(samples_enc, viewdirs_enc, *weights)
     return out[:n, :3], out[:n, 3:]
+
+
+@functools.partial(jax.jit, static_argnames=("ray_tile",))
+def fused_nerf_mlp_per_ray(
+    packed: Dict[str, jnp.ndarray],
+    samples_enc: jnp.ndarray,
+    viewdirs_enc: jnp.ndarray,
+    ray_tile: int = 16,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-ray variant: viewdir encodings are read once per RAY and expanded
+    on-chip, instead of streaming a per-sample copy from HBM (which costs
+    ~N x 128 B for a render pass).
+
+    Args:
+      samples_enc: (B, S, 63|64) encoded positions.
+      viewdirs_enc: (B, 27|32) per-ray encoded view dirs.
+
+    Returns (raw_rgb (B, S, 3), raw_sigma (B, S, 1)) in float32.
+    """
+    B, S, feat = samples_enc.shape
+    b_pad = (B + ray_tile - 1) // ray_tile * ray_tile
+    if b_pad != B:
+        samples_enc = jnp.pad(samples_enc, ((0, b_pad - B), (0, 0), (0, 0)), mode="edge")
+        viewdirs_enc = jnp.pad(viewdirs_enc, ((0, b_pad - B), (0, 0)), mode="edge")
+    if feat != POS_PAD:
+        samples_enc = jnp.pad(samples_enc, ((0, 0), (0, 0), (0, POS_PAD - feat)))
+    if viewdirs_enc.shape[1] != VIEW_PAD:
+        viewdirs_enc = jnp.pad(viewdirs_enc, ((0, 0), (0, VIEW_PAD - viewdirs_enc.shape[1])))
+
+    enc_flat = samples_enc.reshape(b_pad * S, POS_PAD)
+    weights = [packed[k] for k in _WEIGHT_ORDER]
+    weights = [wt.reshape(1, -1) if wt.ndim == 1 else wt for wt in weights]
+
+    rows = ray_tile * S
+    grid = (b_pad // ray_tile,)
+    out = pl.pallas_call(
+        _kernel_per_ray,
+        interpret=_interpret(),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((rows, POS_PAD), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ray_tile, VIEW_PAD), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weights],
+        ],
+        out_specs=pl.BlockSpec((rows, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b_pad * S, 4), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b_pad * S * (64 * 256 + 6 * 256 * 256 + 64 * 256 + 2 * 256 * 256
+                                   + 256 + (256 + 32) * 128 + 128 * 3),
+            bytes_accessed=b_pad * S * (64 + 4) * 4 + b_pad * 32 * 4,
+            transcendentals=0,
+        ),
+    )(enc_flat, viewdirs_enc, *weights)
+    out = out.reshape(b_pad, S, 4)[:B]
+    return out[..., :3], out[..., 3:]

@@ -23,7 +23,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from aon_tpu.core import sampling
 from aon_tpu.core.rendering import volumetric_rendering
-from aon_tpu.ops.fused_mlp import fused_nerf_mlp, pack_vanilla_mlp_params
+from aon_tpu.ops.fused_mlp import fused_nerf_mlp_per_ray, pack_vanilla_mlp_params
 
 try:  # jax >= 0.3x public API
     shard_map = jax.shard_map
@@ -32,13 +32,11 @@ except AttributeError:  # pragma: no cover
 
 
 def _level(packed, rays, t_vals, samples, min_deg, max_deg, deg_view, white_bkgd, tile):
-    B, S, _ = samples.shape
-    enc = sampling.pos_enc(samples, min_deg, max_deg).reshape(B * S, -1)
-    venc = sampling.pos_enc(rays["viewdirs"], 0, deg_view)
-    venc = jnp.broadcast_to(venc[:, None, :], (B, S, venc.shape[-1])).reshape(B * S, -1)
-    raw_rgb, raw_sigma = fused_nerf_mlp(packed, enc, venc, tile=tile)
-    rgb = jax.nn.sigmoid(raw_rgb.reshape(B, S, 3))
-    sigma = jax.nn.relu(raw_sigma.reshape(B, S, 1))
+    enc = sampling.pos_enc(samples, min_deg, max_deg)  # (B, S, 63)
+    venc = sampling.pos_enc(rays["viewdirs"], 0, deg_view)  # (B, 27) per ray
+    raw_rgb, raw_sigma = fused_nerf_mlp_per_ray(packed, enc, venc, ray_tile=tile)
+    rgb = jax.nn.sigmoid(raw_rgb)
+    sigma = jax.nn.relu(raw_sigma)
     return volumetric_rendering(rgb, sigma, t_vals, rays["rays_d"], white_bkgd=white_bkgd)
 
 
@@ -53,7 +51,7 @@ def make_fused_render_fn(
     max_deg: int = 10,
     deg_view: int = 4,
     lindisp: bool = False,
-    tile: int = 512,
+    tile: int = 16,  # rays per kernel tile (per-ray fused variant)
 ):
     """Returns jitted ``fn(params, rays) -> {comp_rgb, acc, depth}`` with
     ``params`` the VanillaNeRF flax params dict and ``rays`` sharded

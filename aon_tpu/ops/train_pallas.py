@@ -1,0 +1,90 @@
+"""Fused training loss for the vanilla NeRF (Pallas fwd + custom-VJP bwd).
+
+Replaces the flax forward inside ``VanillaSystem``'s loss with the
+``fused_mlp_train`` kernels (ops/fused_mlp_train.py): sampling, positional
+encoding and compositing stay in XLA (they are cheap and fuse), both MLP
+passes run through the fused kernel with the on-chip backward.  Numerics
+match the flax path within bf16-matmul tolerance (see
+tests/test_pallas_kernels.py).
+
+The packing of flax params into the kernel layout happens inside the loss,
+so autodiff transposes the pack (slice/pad/reshape) automatically and
+gradients land back on the ordinary flax param tree — optimizer and
+checkpoint formats are unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from aon_tpu.core import sampling
+from aon_tpu.core.rendering import img2mse, volumetric_rendering
+from aon_tpu.ops.fused_mlp_train import TRAIN_TILE, fused_mlp_train, pack_vanilla_mlp_params_f32
+
+
+def _level_train(packed, rays, t_vals, samples, key, cfg_dims, white_bkgd, noise_std, tile):
+    min_deg, max_deg, deg_view = cfg_dims
+    B, S, _ = samples.shape
+    enc = sampling.pos_enc(samples, min_deg, max_deg).reshape(B * S, -1)
+    venc = sampling.pos_enc(rays["viewdirs"], 0, deg_view)
+    venc = jnp.broadcast_to(venc[:, None, :], (B, S, venc.shape[-1])).reshape(B * S, -1)
+    raw_rgb, raw_sigma = fused_mlp_train(packed, enc, venc, tile)
+    raw_rgb = raw_rgb.reshape(B, S, 3)
+    raw_sigma = raw_sigma.reshape(B, S, 1)
+    if noise_std > 0 and key is not None:
+        raw_sigma = raw_sigma + jax.random.uniform(key, raw_sigma.shape) * noise_std
+    rgb = jax.nn.sigmoid(raw_rgb)
+    sigma = jax.nn.relu(raw_sigma)
+    return volumetric_rendering(rgb, sigma, t_vals, rays["rays_d"], white_bkgd=white_bkgd)
+
+
+def make_fused_loss_fn(
+    near: float,
+    far: float,
+    white_bkgd: bool,
+    num_coarse: int = 64,
+    num_fine: int = 128,
+    min_deg: int = 0,
+    max_deg: int = 10,
+    deg_view: int = 4,
+    noise_std: float = 0.0,
+    lindisp: bool = False,
+    tile: int = TRAIN_TILE,
+):
+    """Returns ``loss_fn(params, batch, key) -> (loss, aux)`` matching the
+    VanillaSystem contract (params = flax VanillaNeRF params tree)."""
+    cfg_dims = (min_deg, max_deg, deg_view)
+
+    def loss_fn(params: Dict, batch: Dict, key: jax.Array):
+        rays = {k: batch[k] for k in ("rays_o", "rays_d", "viewdirs")}
+        k0, k1, k2, k3 = jax.random.split(key, 4)
+        packed_c = pack_vanilla_mlp_params_f32(params["coarse_mlp"])
+        packed_f = pack_vanilla_mlp_params_f32(params["fine_mlp"])
+
+        t_vals, samples = sampling.sample_along_rays(
+            k0, rays["rays_o"], rays["rays_d"], num_coarse, near, far,
+            randomized=True, lindisp=lindisp,
+        )
+        comp0, acc0, weights, _ = _level_train(
+            packed_c, rays, t_vals, samples, k1 if noise_std > 0 else None,
+            cfg_dims, white_bkgd, noise_std, tile,
+        )
+
+        t_mids = 0.5 * (t_vals[..., 1:] + t_vals[..., :-1])
+        t_vals, samples = sampling.sample_pdf(
+            k2, t_mids, weights[..., 1:-1], rays["rays_o"], rays["rays_d"],
+            t_vals, num_fine, randomized=True,
+        )
+        comp1, acc1, _, _ = _level_train(
+            packed_f, rays, t_vals, samples, k3 if noise_std > 0 else None,
+            cfg_dims, white_bkgd, noise_std, tile,
+        )
+
+        loss0 = img2mse(comp0, batch["target"])
+        loss1 = img2mse(comp1, batch["target"])
+        return loss0 + loss1, {"loss0": loss0, "loss1": loss1}
+
+    return loss_fn

@@ -3,6 +3,7 @@ from aon_tpu.parallel.mesh import (
     replicated_sharding,
     ray_sharding,
     shard_ray_batch,
+    stack_step_batches,
     pad_to_multiple,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "replicated_sharding",
     "ray_sharding",
     "shard_ray_batch",
+    "stack_step_batches",
     "pad_to_multiple",
 ]

@@ -68,6 +68,36 @@ def pad_to_multiple(x: np.ndarray, multiple: int, axis: int = 0) -> np.ndarray:
     return np.pad(x, pad_width, mode="edge")
 
 
+def stack_step_batches(
+    batches, mesh: Mesh, microbatch: Optional[int] = None
+) -> Dict[str, jax.Array]:
+    """Stack T host batches into one superbatch for multi-step dispatch.
+
+    Ray entries become (T, k, m, ...) sharded P(None, None, "data"); shared
+    entries become (T, ...) replicated.  The train_many step scans axis 0.
+    """
+    import numpy as _np
+
+    n_dev = mesh.devices.size
+    micro_sharding = NamedSharding(mesh, P(None, None, DATA_AXIS))
+    rep = replicated_sharding(mesh)
+    out = {}
+    for k in batches[0]:
+        vs = _np.stack([_np.asarray(b[k]) for b in batches])
+        v0 = vs[0]
+        is_ray = v0.ndim >= 1 and v0.shape[0] % n_dev == 0 and v0.shape[0] >= n_dev
+        if is_ray:
+            n = v0.shape[0]
+            m = min(microbatch or n, n)
+            if n % m != 0:
+                raise ValueError(f"batch axis {n} not divisible by microbatch {m} ({k})")
+            vs = vs.reshape(len(batches), n // m, m, *v0.shape[1:])
+            out[k] = jax.device_put(vs, micro_sharding)
+        else:
+            out[k] = jax.device_put(vs, rep)
+    return out
+
+
 def shard_ray_batch(
     batch: Dict[str, np.ndarray], mesh: Mesh, microbatch: Optional[int] = None
 ) -> Dict[str, jax.Array]:

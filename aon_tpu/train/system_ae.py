@@ -160,6 +160,19 @@ class AutoEncoderSystem:
             }
             return state, metrics
 
+        def metrics_fn(loss, aux):
+            return {
+                "train/loss": loss,
+                "train/loss_state": aux["loss_state"],
+                "train/opacity_loss": aux["opacity_loss"],
+                "train/psnr0": mse2psnr(aux["loss0"]),
+                "train/psnr1": mse2psnr(aux["loss1"]),
+            }
+
+        from aon_tpu.train.microbatch import make_train_many
+
+        self.train_many = make_train_many(loss_fn, metrics_fn)
+
         @jax.jit
         def render_chunk(params, rays, src_imgs, deg):
             latents, pred_state = self._encode(params, src_imgs, deg)

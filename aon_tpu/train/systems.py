@@ -29,7 +29,7 @@ from flax.training import train_state
 
 from aon_tpu.core.rendering import img2mse, mse2psnr
 from aon_tpu.models import ArticulatedNeRF, CodeLibraryArticulated, VanillaNeRF
-from aon_tpu.train.microbatch import accumulated_grads
+from aon_tpu.train.microbatch import accumulated_grads, make_train_many
 from aon_tpu.train.schedule import nerf_lr_schedule
 from aon_tpu.utils.config import Config
 
@@ -90,13 +90,29 @@ class VanillaSystem:
 
     def _build_steps(self):
         model, near, far, white_bkgd = self.model, self.near, self.far, self.white_bkgd
+        cfg = self.cfg
 
-        def loss_fn(params, batch, key):
+        def flax_loss_fn(params, batch, key):
             out = model.apply({"params": params}, _rays_of(batch), key, True, white_bkgd, near, far)
             loss0 = img2mse(out[0][0], batch["target"])
             loss1 = img2mse(out[1][0], batch["target"])
             loss = loss0 + loss1
             return loss, {"loss0": loss0, "loss1": loss1}
+
+        # Fused Pallas train path: single-TPU only for now (multi-chip uses
+        # the flax path until the shard_map'd fused loss lands).
+        n_dev = self.mesh.devices.size if self.mesh is not None else 1
+        if cfg.use_pallas and jax.default_backend() == "tpu" and n_dev == 1:
+            from aon_tpu.ops.train_pallas import make_fused_loss_fn
+
+            loss_fn = make_fused_loss_fn(
+                near, far, white_bkgd,
+                num_coarse=cfg.N_samples, num_fine=cfg.N_importance,
+                max_deg=cfg.N_emb_xyz, deg_view=cfg.N_emb_dir,
+                noise_std=cfg.noise_std, lindisp=cfg.lindisp,
+            )
+        else:
+            loss_fn = flax_loss_fn
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, batch, key):
@@ -108,6 +124,15 @@ class VanillaSystem:
                 "train/psnr1": mse2psnr(aux["loss1"]),
             }
             return state, metrics
+
+        def metrics_fn(loss, aux):
+            return {
+                "train/loss": loss,
+                "train/psnr0": mse2psnr(aux["loss0"]),
+                "train/psnr1": mse2psnr(aux["loss1"]),
+            }
+
+        self.train_many = make_train_many(loss_fn, metrics_fn)
 
         @jax.jit
         def render_chunk(params, rays):
@@ -229,6 +254,16 @@ class AutoDecoderSystem:
                 "train/psnr1": mse2psnr(aux["loss1"]),
             }
             return state, metrics
+
+        def metrics_fn(loss, aux):
+            return {
+                "train/loss": loss,
+                "train/loss/reg": aux["reg"],
+                "train/psnr0": mse2psnr(aux["loss0"]),
+                "train/psnr1": mse2psnr(aux["loss1"]),
+            }
+
+        self.train_many = make_train_many(loss_fn, metrics_fn)
 
         @functools.partial(jax.jit, static_argnames=("is_test",))
         def render_chunk(params, rays, instance_id, articulation_id, is_test=False):

@@ -100,19 +100,38 @@ class Trainer:
         )
         start_epoch = self.global_step // max(1, steps_per_epoch)
 
+        t_dispatch = max(1, cfg.steps_per_dispatch)
+
         for epoch in range(start_epoch, cfg.num_epochs):
             t_epoch = time.time()
             n_rays = 0
-            for _ in range(steps_per_epoch):
+            steps_done = 0
+            while steps_done < steps_per_epoch:
                 if self.global_step >= cfg.run_max_steps:
                     break
-                batch = next(it)
-                sharded = shard_ray_batch(batch, self.mesh, microbatch=cfg.microbatch_rays)
+                t_now = min(
+                    t_dispatch, steps_per_epoch - steps_done,
+                    cfg.run_max_steps - self.global_step,
+                )
                 key = jax.random.fold_in(self.base_key, self.global_step)
-                self.state, metrics = self.system.train_step(self.state, sharded, key)
-                self.global_step += 1
-                n_rays += rays_per_step
-                if self.global_step % cfg.log_every_n_steps == 0:
+                if t_now > 1:
+                    from aon_tpu.parallel import stack_step_batches
+
+                    batches = [next(it) for _ in range(t_now)]
+                    super_b = stack_step_batches(
+                        batches, self.mesh, microbatch=cfg.microbatch_rays
+                    )
+                    self.state, metrics = self.system.train_many(self.state, super_b, key)
+                else:
+                    batch = next(it)
+                    sharded = shard_ray_batch(
+                        batch, self.mesh, microbatch=cfg.microbatch_rays
+                    )
+                    self.state, metrics = self.system.train_step(self.state, sharded, key)
+                self.global_step += t_now
+                steps_done += t_now
+                n_rays += rays_per_step * t_now
+                if self.global_step % cfg.log_every_n_steps < t_now:
                     metrics = {k: float(v) for k, v in metrics.items()}
                     if math.isnan(metrics["train/loss"]):
                         raise FloatingPointError(

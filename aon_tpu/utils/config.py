@@ -55,6 +55,7 @@ class Config:
     ray_batch_size: int = 4096  # rays per step (articulated, sapien_multi)
     chunk: int = 16 * 240  # eval render rays per device step
     microbatch_rays: int = 2048  # grad-accum microbatch (bounds per-compile size)
+    steps_per_dispatch: int = 8  # optimizer steps scanned per device dispatch
     samples_per_epoch: int = 4000
 
     # optimization (reference LitNeRF defaults, model.py:203-209)
