@@ -139,12 +139,19 @@ def _kernel_per_ray(enc_ref, venc_ref, *refs):
 
     enc = enc_ref[...].astype(dtype)  # (R*S, 64)
     venc_rays = venc_ref[...].astype(dtype)  # (R, 32)
-    repeats = enc.shape[0] // venc_rays.shape[0]
-    # broadcast+reshape instead of jnp.repeat (repeat lowers to scatter,
-    # which Mosaic doesn't implement)
-    venc = jnp.broadcast_to(
-        venc_rays[:, None, :], (venc_rays.shape[0], repeats, venc_rays.shape[1])
-    ).reshape(enc.shape[0], venc_rays.shape[1])
+    rows = enc.shape[0]
+    n_rays = venc_rays.shape[0]
+    repeats = rows // n_rays
+    # Expand per-ray venc to per-sample via a selection-matrix matmul:
+    # E[i, r] = 1 iff sample-row i belongs to ray r.  (jnp.repeat lowers to
+    # scatter and broadcast+reshape across a non-lane dim both fail Mosaic;
+    # a tiny (rows, R) GEMM is cheap and always lowers.)
+    row_ray = jax.lax.broadcasted_iota(jnp.int32, (rows, n_rays), 0) // repeats
+    col_ray = jax.lax.broadcasted_iota(jnp.int32, (rows, n_rays), 1)
+    select = (row_ray == col_ray).astype(dtype)
+    venc = jax.lax.dot_general(
+        select, venc_rays, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dtype)
     _mlp_body(enc, venc, w, out_ref)
 
 

@@ -37,7 +37,10 @@ from aon_tpu.ops.fused_mlp import (
     _kernel,
 )
 
-TRAIN_TILE = 1024
+# 512 rows: the bwd kernel holds fp32 weights + fp32 grad accumulators
+# (~4.8 MB) plus ~12 live activation tiles; 1024-row tiles overflow the
+# 16 MB VMEM budget by ~0.4 MB.
+TRAIN_TILE = 512
 
 # (rows, cols) of every packed tensor, in _WEIGHT_ORDER (biases as (1, C))
 _SHAPES = {
@@ -74,25 +77,27 @@ def _fwd_activations(enc, venc, w):
             preferred_element_type=jnp.float32,
         )
 
+    # activations stored bf16 (they re-enter bf16 matmuls anyway) to halve
+    # the VMEM footprint of the backward's rematerialized state
     acts = {}
-    a = jnp.maximum(dot(enc, w["w0"][...]) + w["b0"][...], 0.0)
+    a = jnp.maximum(dot(enc, w["w0"][...]) + w["b0"][...], 0.0).astype(bf)
     acts["a0"] = a
     for i in (1, 2, 3, 4):
-        a = jnp.maximum(dot(a, w[f"w{i}"][...]) + w[f"b{i}"][...], 0.0)
+        a = jnp.maximum(dot(a, w[f"w{i}"][...]) + w[f"b{i}"][...], 0.0).astype(bf)
         acts[f"a{i}"] = a
     a = jnp.maximum(
         dot(acts["a4"], w["w5a"][...]) + dot(enc, w["w5b"][...]) + w["b5"][...], 0.0
-    )
+    ).astype(bf)
     acts["a5"] = a
     for i in (6, 7):
-        a = jnp.maximum(dot(a, w[f"w{i}"][...]) + w[f"b{i}"][...], 0.0)
+        a = jnp.maximum(dot(a, w[f"w{i}"][...]) + w[f"b{i}"][...], 0.0).astype(bf)
         acts[f"a{i}"] = a
     acts["sigma"] = dot(acts["a7"], w["wd"][...]) + w["bd"][...]
-    acts["bottleneck"] = dot(acts["a7"], w["wb"][...]) + w["bb"][...]
+    acts["bottleneck"] = (dot(acts["a7"], w["wb"][...]) + w["bb"][...]).astype(bf)
     acts["v"] = jnp.maximum(
         dot(acts["bottleneck"], w["wva"][...]) + dot(venc, w["wvb"][...]) + w["bv"][...],
         0.0,
-    )
+    ).astype(bf)
     acts["rgb"] = dot(acts["v"], w["wrgb"][...]) + w["brgb"][...]
     return acts
 
@@ -147,7 +152,7 @@ def _bwd_kernel(enc_ref, venc_ref, g_ref, *refs):
     # rgb head
     acc("wrgb", dot_tn(acts["v"], g_rgb))
     acc("brgb", bias_grad(g_rgb))
-    dv = dot_nt(g_rgb, w["wrgb"][...]) * (acts["v"] > 0)
+    dv = dot_nt(g_rgb, w["wrgb"][...]) * (acts["v"].astype(jnp.float32) > 0)
 
     # view branch
     acc("wva", dot_tn(acts["bottleneck"], dv))
@@ -160,27 +165,27 @@ def _bwd_kernel(enc_ref, venc_ref, g_ref, *refs):
     acc("bb", bias_grad(dbott))
     acc("wd", dot_tn(acts["a7"], g_sigma))
     acc("bd", bias_grad(g_sigma))
-    da = (dot_nt(dbott, w["wb"][...]) + dot_nt(g_sigma, w["wd"][...])) * (acts["a7"] > 0)
+    da = (dot_nt(dbott, w["wb"][...]) + dot_nt(g_sigma, w["wd"][...])) * (acts["a7"].astype(jnp.float32) > 0)
 
     # trunk layers 7, 6
     acc("w7", dot_tn(acts["a6"], da))
     acc("b7", bias_grad(da))
-    da = dot_nt(da, w["w7"][...]) * (acts["a6"] > 0)
+    da = dot_nt(da, w["w7"][...]) * (acts["a6"].astype(jnp.float32) > 0)
     acc("w6", dot_tn(acts["a5"], da))
     acc("b6", bias_grad(da))
-    da = dot_nt(da, w["w6"][...]) * (acts["a5"] > 0)
+    da = dot_nt(da, w["w6"][...]) * (acts["a5"].astype(jnp.float32) > 0)
 
     # skip layer 5: inputs a4 and enc
     acc("w5a", dot_tn(acts["a4"], da))
     acc("w5b", dot_tn(enc, da))
     acc("b5", bias_grad(da))
-    da = dot_nt(da, w["w5a"][...]) * (acts["a4"] > 0)
+    da = dot_nt(da, w["w5a"][...]) * (acts["a4"].astype(jnp.float32) > 0)
 
     # layers 4..1
     for idx in (4, 3, 2, 1):
         acc(f"w{idx}", dot_tn(acts[f"a{idx - 1}"], da))
         acc(f"b{idx}", bias_grad(da))
-        da = dot_nt(da, w[f"w{idx}"][...]) * (acts[f"a{idx - 1}"] > 0)
+        da = dot_nt(da, w[f"w{idx}"][...]) * (acts[f"a{idx - 1}"].astype(jnp.float32) > 0)
 
     # layer 0: input enc
     acc("w0", dot_tn(enc, da))

@@ -85,13 +85,19 @@ class Trainer:
 
     def fit(self, resume: bool = False) -> None:
         cfg = self.cfg
+        # finetuning variants resume from last.ckpt / ckpt_path and
+        # checkpoint every epoch (reference run.py:37-90)
+        finetune = bool(cfg.is_optimize) or cfg.finetune_lpips
+        if finetune:
+            resume = True
         if resume:
             try:
-                self.state = self.ckpt.restore(self.state)
+                self.state = self.ckpt.restore(self.state, cfg.ckpt_path)
                 self.global_step = int(self.state.step)
                 print(f"resumed from step {self.global_step}")
             except FileNotFoundError:
                 print("no checkpoint to resume from; starting fresh")
+        ckpt_every = 1 if finetune else cfg.ckpt_every_n_epochs
 
         it = self._train_iterator()
         steps_per_epoch = self._steps_per_epoch()
@@ -101,6 +107,13 @@ class Trainer:
         start_epoch = self.global_step // max(1, steps_per_epoch)
 
         t_dispatch = max(1, cfg.steps_per_dispatch)
+
+        profiling = False
+        if cfg.profile_dir:
+            import jax.profiler
+
+            jax.profiler.start_trace(cfg.profile_dir)
+            profiling = True
 
         for epoch in range(start_epoch, cfg.num_epochs):
             t_epoch = time.time()
@@ -149,10 +162,17 @@ class Trainer:
                 force_stdout=True,
             )
 
+            if profiling:  # trace covers the first trained epoch only
+                import jax.profiler
+
+                jax.profiler.stop_trace()
+                profiling = False
+                print(f"profiler trace written to {cfg.profile_dir}")
+
             if (epoch + 1) % cfg.check_val_every_n_epoch == 0:
                 val_psnr = self.validate(epoch)
                 self.ckpt.save_last(self.state, epoch)
-                if (epoch + 1) % cfg.ckpt_every_n_epochs == 0:
+                if (epoch + 1) % ckpt_every == 0:
                     self.ckpt.save_ranked(self.state, epoch, val_psnr)
 
             if self.global_step >= cfg.run_max_steps:

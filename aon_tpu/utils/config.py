@@ -37,6 +37,10 @@ class Config:
     run_eval: bool = False
     render_name: Optional[str] = None
     ckpt_path: Optional[str] = None
+    # finetuning variants (reference run.py:37-90): both resume from
+    # last.ckpt (or ckpt_path) and checkpoint every epoch
+    is_optimize: Optional[str] = None
+    finetune_lpips: bool = False
 
     # model
     N_samples: int = 64
@@ -76,6 +80,10 @@ class Config:
     use_pallas: bool = True
     seed: int = 0
 
+    # debugging / profiling (SURVEY §5)
+    debug_nans: bool = False  # jax_debug_nans (detect_anomaly analogue)
+    profile_dir: Optional[str] = None  # jax.profiler trace of the first epoch
+
     # logging / checkpointing
     log_every_n_steps: int = 50
     check_val_every_n_epoch: int = 1
@@ -98,7 +106,7 @@ class Config:
         return dataclasses.asdict(self)
 
 
-_BOOL_FIELDS = {"white_back", "run_eval", "use_disp", "use_pallas"}
+_BOOL_FIELDS = {"white_back", "run_eval", "use_disp", "use_pallas", "finetune_lpips", "debug_nans"}
 
 
 def _build_parser() -> argparse.ArgumentParser:

@@ -16,7 +16,10 @@ from aon_tpu.utils.config import get_config
 
 
 def main(cfg) -> None:
+    from aon_tpu.utils.profiling import maybe_enable_debug_nans
+
     maybe_initialize_distributed()
+    maybe_enable_debug_nans(cfg.debug_nans)
     trainer = Trainer(cfg)
     if cfg.run_eval:
         trainer.test()
