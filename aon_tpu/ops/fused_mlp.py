@@ -90,6 +90,66 @@ _WEIGHT_ORDER = (
 )
 
 
+def make_posenc_constants(max_deg: int = 10, view_deg: int = 4, dtype=jnp.float32):
+    """Constants for IN-KERNEL positional encoding from raw coords.
+
+    pos_enc is a linear map followed by a masked sin:
+      pre = x @ S + P;  enc = where(col < 3, pre, sin(pre))
+    with S scattering x_c * 2^d into the frequency-major layout of
+    core/sampling.pos_enc and P holding the pi/2 phase of the cos block.
+    Streaming raw (N, 4) coords instead of (N, 64) encodings cuts the
+    kernel's input HBM traffic ~12x.
+    """
+    import numpy as np
+
+    def build(deg, width):
+        s = np.zeros((4, width), np.float32)
+        p = np.zeros((1, width), np.float32)
+        for c in range(3):
+            s[c, c] = 1.0  # identity channels
+        for d in range(deg):
+            for c in range(3):
+                s[c, 3 + d * 3 + c] = 2.0**d  # sin block
+                s[c, 3 + 3 * deg + d * 3 + c] = 2.0**d  # cos block
+                p[0, 3 + 3 * deg + d * 3 + c] = 0.5 * np.pi
+        return jnp.asarray(s, dtype), jnp.asarray(p, dtype)
+
+    s_pos, p_pos = build(max_deg, POS_PAD)
+    s_view, p_view = build(view_deg, VIEW_PAD)
+    return {"s_pos": s_pos, "p_pos": p_pos, "s_view": s_view, "p_view": p_view}
+
+
+_ENC_ORDER = ("s_pos", "p_pos", "s_view", "p_view")
+
+
+def _encode_in_kernel(x4, s, p, dtype):
+    """x4 (T, 4) raw coords -> (T, width) pos-enc, computed on VPU/MXU.
+
+    The scale/phase matmul and the sine run in FLOAT32: bf16 coords scaled
+    by 2^9 carry O(radians) of phase error at the high frequencies, which
+    destroys the encoding.  Only the post-sine values are cast down.
+    """
+    # ELEMENTWISE scale/scatter (VPU, exact f32): an MXU dot here would run
+    # at bf16 input precision (f32 matmuls decompose to bf16 passes), and a
+    # ~2^-8 relative coordinate error scaled by 2^9 is O(radians) of phase —
+    # garbage at the high frequencies.
+    x4 = x4.astype(jnp.float32)
+    s = s[...].astype(jnp.float32)
+    pre = (
+        x4[:, 0:1] * s[0:1, :]
+        + x4[:, 1:2] * s[1:2, :]
+        + x4[:, 2:3] * s[2:3, :]
+        + p[...].astype(jnp.float32)
+    )
+    # Explicit range reduction to [-pi, pi]: the TPU's hardware sine has no
+    # argument reduction, and |x * 2^9| reaches ~1500 rad at the highest
+    # frequency (interpret mode uses the host libm and hides both issues).
+    two_pi = 2.0 * 3.14159265358979
+    reduced = pre - two_pi * jnp.floor(pre / two_pi + 0.5)
+    col = jax.lax.broadcasted_iota(jnp.int32, pre.shape, 1)
+    return jnp.where(col < 3, pre, jnp.sin(reduced)).astype(dtype)
+
+
 def _mlp_body(enc, venc, w, out_ref):
     """Shared trunk+heads body; enc (T, 64) and venc (T, 32) in compute dtype."""
     dtype = enc.dtype
@@ -152,6 +212,35 @@ def _kernel_per_ray(enc_ref, venc_ref, *refs):
     venc = jax.lax.dot_general(
         select, venc_rays, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ).astype(dtype)
+    _mlp_body(enc, venc, w, out_ref)
+
+
+def _kernel_xyz_per_ray(xyz_ref, vdir_ref, *refs):
+    """v2 eval kernel: raw (R*S, 4) sample coords + per-ray (R, 4) viewdirs;
+    both positional encodings computed in-kernel (make_posenc_constants)."""
+    enc_refs = refs[: len(_ENC_ORDER)]
+    weight_refs = refs[len(_ENC_ORDER) : -1]
+    out_ref = refs[-1]
+    e = dict(zip(_ENC_ORDER, enc_refs))
+    w = dict(zip(_WEIGHT_ORDER, weight_refs))
+    dtype = w["w0"].dtype
+
+    xyz = xyz_ref[...]
+    vdir_rays = vdir_ref[...]  # (R, 4)
+    rows = xyz.shape[0]
+    n_rays = vdir_rays.shape[0]
+    repeats = rows // n_rays
+
+    enc = _encode_in_kernel(xyz, e["s_pos"], e["p_pos"], dtype)
+    row_ray = jax.lax.broadcasted_iota(jnp.int32, (rows, n_rays), 0) // repeats
+    col_ray = jax.lax.broadcasted_iota(jnp.int32, (rows, n_rays), 1)
+    # f32 selection GEMM: keeps viewdir values exact pre-encoding
+    select = (row_ray == col_ray).astype(jnp.float32)
+    vdir = jax.lax.dot_general(
+        select, vdir_rays.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    venc = _encode_in_kernel(vdir, e["s_view"], e["p_view"], dtype)
     _mlp_body(enc, venc, w, out_ref)
 
 
@@ -259,4 +348,60 @@ def fused_nerf_mlp_per_ray(
         ),
     )(enc_flat, viewdirs_enc, *weights)
     out = out.reshape(b_pad, S, 4)[:B]
+    return out[..., :3], out[..., 3:]
+
+
+@functools.partial(jax.jit, static_argnames=("ray_tile",))
+def fused_nerf_mlp_xyz(
+    packed: Dict[str, jnp.ndarray],
+    enc_consts: Dict[str, jnp.ndarray],
+    samples: jnp.ndarray,
+    viewdirs: jnp.ndarray,
+    ray_tile: int = 16,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """v2 eval entry: raw coords in, encodings computed in-kernel.
+
+    Args:
+      enc_consts: make_posenc_constants() output.
+      samples: (B, S, 3) raw sample positions.
+      viewdirs: (B, 3) per-ray unit view dirs.
+
+    Returns (raw_rgb (B, S, 3), raw_sigma (B, S, 1)) fp32.
+    """
+    B, S_in, _ = samples.shape
+    S = (S_in + 7) // 8 * 8  # rows per tile must be 8-divisible (Mosaic)
+    if S != S_in:
+        samples = jnp.pad(samples, ((0, 0), (0, S - S_in), (0, 0)))
+    b_pad = (B + ray_tile - 1) // ray_tile * ray_tile
+    if b_pad != B:
+        samples = jnp.pad(samples, ((0, b_pad - B), (0, 0), (0, 0)), mode="edge")
+        viewdirs = jnp.pad(viewdirs, ((0, b_pad - B), (0, 0)), mode="edge")
+    xyz = jnp.pad(samples.reshape(b_pad * S, 3), ((0, 0), (0, 1)))
+    vdir = jnp.pad(viewdirs, ((0, 0), (0, 1)))
+
+    enc_args = [enc_consts[k] for k in _ENC_ORDER]
+    weights = [packed[k] for k in _WEIGHT_ORDER]
+    weights = [wt.reshape(1, -1) if wt.ndim == 1 else wt for wt in weights]
+
+    rows = ray_tile * S
+    out = pl.pallas_call(
+        _kernel_xyz_per_ray,
+        interpret=_interpret(),
+        grid=(b_pad // ray_tile,),
+        in_specs=[
+            pl.BlockSpec((rows, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ray_tile, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in enc_args],
+            *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weights],
+        ],
+        out_specs=pl.BlockSpec((rows, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b_pad * S, 4), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b_pad * S * (64 * 256 + 6 * 256 * 256 + 64 * 256 + 2 * 256 * 256
+                                   + 256 + (256 + 32) * 128 + 128 * 3),
+            bytes_accessed=b_pad * S * 8 * 4,
+            transcendentals=b_pad * S * (60 + 24),
+        ),
+    )(xyz, vdir, *enc_args, *weights)
+    out = out.reshape(b_pad, S, 4)[:B, :S_in]
     return out[..., :3], out[..., 3:]

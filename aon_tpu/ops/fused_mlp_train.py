@@ -32,9 +32,12 @@ from jax.experimental.pallas import tpu as pltpu
 from aon_tpu.ops.fused_mlp import (
     POS_PAD,
     VIEW_PAD,
+    _ENC_ORDER,
     _WEIGHT_ORDER,
+    _encode_in_kernel,
     _interpret,
     _kernel,
+    make_posenc_constants,
 )
 
 # 512 rows: the bwd kernel holds fp32 weights + fp32 grad accumulators
@@ -278,3 +281,239 @@ def _train_bwd(tile, res, cotangents):
 
 
 fused_mlp_train.defvjp(_train_fwd, _train_bwd)
+
+
+# ---------------------------------------------------------------- v2 (xyz)
+# Raw coords in, positional encodings computed in-kernel: cuts the per-level
+# input stream from (N x 96 f32) to (N x 4 + B x 4) — the dominant HBM
+# traffic once the MLP itself is fused.
+
+
+def _kernel_xyz_flat(xyz_ref, vdir_ref, *refs):
+    """Flat v2 fwd kernel: per-sample (T, 4) coords and viewdirs; both
+    encodings computed in-kernel."""
+    e = dict(zip(_ENC_ORDER, refs[: len(_ENC_ORDER)]))
+    rest = refs[len(_ENC_ORDER) :]
+    w = dict(zip(_WEIGHT_ORDER, rest[:-1]))
+    out_ref = rest[-1]
+    from aon_tpu.ops.fused_mlp import _mlp_body
+
+    dtype = w["w0"].dtype
+    enc = _encode_in_kernel(xyz_ref[...], e["s_pos"], e["p_pos"], dtype)
+    venc = _encode_in_kernel(vdir_ref[...], e["s_view"], e["p_view"], dtype)
+    _mlp_body(enc, venc, w, out_ref)
+
+
+def _bwd_kernel_xyz_flat(xyz_ref, vdir_ref, g_ref, *refs):
+    """Flat v2 bwd kernel: 512-row tiles fit VMEM (the per-ray variant's
+    8-ray x 200-sample tiles overflow the scoped-vmem stack estimate)."""
+    e = dict(zip(_ENC_ORDER, refs[: len(_ENC_ORDER)]))
+    rest = refs[len(_ENC_ORDER) :]
+    n_w = len(_WEIGHT_ORDER)
+    w = dict(zip(_WEIGHT_ORDER, rest[:n_w]))
+    gw = dict(zip(_WEIGHT_ORDER, rest[n_w:]))
+    bf = jnp.bfloat16
+
+    enc = _encode_in_kernel(xyz_ref[...], e["s_pos"], e["p_pos"], bf)
+    venc = _encode_in_kernel(vdir_ref[...], e["s_view"], e["p_view"], bf)
+    _bwd_body(enc, venc, g_ref[...], w, gw, pl.program_id(0))
+
+
+def _bwd_body(enc, venc, g, w, gw, program_i):
+    """Backward math shared by the enc-input and xyz-input kernels."""
+    bf = jnp.bfloat16
+
+    @pl.when(program_i == 0)
+    def _init():
+        for name in _WEIGHT_ORDER:
+            gw[name][...] = jnp.zeros_like(gw[name])
+
+    def dot_tn(a, b):
+        return jax.lax.dot_general(
+            a.astype(bf), b.astype(bf), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def dot_nt(a, b):
+        return jax.lax.dot_general(
+            a.astype(bf), b.astype(bf), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    g_rgb, g_sigma = g[:, :3], g[:, 3:4]
+    acts = _fwd_activations(enc, venc, w)
+
+    def acc(name, val):
+        gw[name][...] += val
+
+    def bias_grad(gr):
+        return jnp.sum(gr, axis=0, keepdims=True)
+
+    def relu_mask(a):
+        return a.astype(jnp.float32) > 0
+
+    acc("wrgb", dot_tn(acts["v"], g_rgb))
+    acc("brgb", bias_grad(g_rgb))
+    dv = dot_nt(g_rgb, w["wrgb"][...]) * relu_mask(acts["v"])
+
+    acc("wva", dot_tn(acts["bottleneck"], dv))
+    acc("wvb", dot_tn(venc, dv))
+    acc("bv", bias_grad(dv))
+    dbott = dot_nt(dv, w["wva"][...])
+
+    acc("wb", dot_tn(acts["a7"], dbott))
+    acc("bb", bias_grad(dbott))
+    acc("wd", dot_tn(acts["a7"], g_sigma))
+    acc("bd", bias_grad(g_sigma))
+    da = (dot_nt(dbott, w["wb"][...]) + dot_nt(g_sigma, w["wd"][...])) * relu_mask(acts["a7"])
+
+    acc("w7", dot_tn(acts["a6"], da))
+    acc("b7", bias_grad(da))
+    da = dot_nt(da, w["w7"][...]) * relu_mask(acts["a6"])
+    acc("w6", dot_tn(acts["a5"], da))
+    acc("b6", bias_grad(da))
+    da = dot_nt(da, w["w6"][...]) * relu_mask(acts["a5"])
+
+    acc("w5a", dot_tn(acts["a4"], da))
+    acc("w5b", dot_tn(enc, da))
+    acc("b5", bias_grad(da))
+    da = dot_nt(da, w["w5a"][...]) * relu_mask(acts["a4"])
+
+    for idx in (4, 3, 2, 1):
+        acc(f"w{idx}", dot_tn(acts[f"a{idx - 1}"], da))
+        acc(f"b{idx}", bias_grad(da))
+        da = dot_nt(da, w[f"w{idx}"][...]) * relu_mask(acts[f"a{idx - 1}"])
+
+    acc("w0", dot_tn(enc, da))
+    acc("b0", bias_grad(da))
+
+
+def _fwd_call_xyz(packed, enc_consts, xyz, vdir_rays, tile):
+    """Flat dispatch: (B, S, 3) coords + (B, 3) per-ray dirs -> per-sample
+    (N, 4) streams (the vdir broadcast costs 16 B/sample, still ~24x less
+    than streaming precomputed encodings)."""
+    B, S, _ = xyz.shape
+    n = B * S
+    n_pad = (n + tile - 1) // tile * tile
+    xyz4 = jnp.pad(xyz.reshape(n, 3), ((0, n_pad - n), (0, 1)))
+    vdir = jnp.broadcast_to(vdir_rays[:, None, :], (B, S, 3)).reshape(n, 3)
+    vdir4 = jnp.pad(vdir, ((0, n_pad - n), (0, 1)))
+    enc_args = [enc_consts[k] for k in _ENC_ORDER]
+    weights = [packed[k] for k in _WEIGHT_ORDER]
+    out = pl.pallas_call(
+        _kernel_xyz_flat,
+        interpret=_interpret(),
+        grid=(n_pad // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in enc_args],
+            *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weights],
+        ],
+        out_specs=pl.BlockSpec((tile, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 4), jnp.float32),
+    )(xyz4, vdir4, *enc_args, *weights)
+    return out[:n].reshape(B, S, 4)
+
+
+def _bwd_call_xyz(packed, enc_consts, xyz, vdir_rays, g, tile):
+    B, S, _ = xyz.shape
+    n = B * S
+    n_pad = (n + tile - 1) // tile * tile
+    xyz4 = jnp.pad(xyz.reshape(n, 3), ((0, n_pad - n), (0, 1)))
+    vdir = jnp.broadcast_to(vdir_rays[:, None, :], (B, S, 3)).reshape(n, 3)
+    vdir4 = jnp.pad(vdir, ((0, n_pad - n), (0, 1)))
+    g_flat = jnp.pad(g.reshape(n, 4), ((0, n_pad - n), (0, 0)))  # zero grad pad
+    enc_args = [enc_consts[k] for k in _ENC_ORDER]
+    weights = [packed[k] for k in _WEIGHT_ORDER]
+    grads = pl.pallas_call(
+        _bwd_kernel_xyz_flat,
+        interpret=_interpret(),
+        grid=(n_pad // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in enc_args],
+            *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weights],
+        ],
+        out_specs=[
+            pl.BlockSpec(_SHAPES[k], lambda i: (0, 0), memory_space=pltpu.VMEM)
+            for k in _WEIGHT_ORDER
+        ],
+        out_shape=[jax.ShapeDtypeStruct(_SHAPES[k], jnp.float32) for k in _WEIGHT_ORDER],
+    )(xyz4, vdir4, g_flat, *enc_args, *weights)
+    return dict(zip(_WEIGHT_ORDER, grads))
+
+
+def unpack_vanilla_mlp_grads(d: Dict[str, jnp.ndarray], pos_dim: int = 63,
+                             view_dim: int = 27) -> Dict:
+    """Packed-layout gradients -> flax NeRFMLP params-tree layout.
+
+    Inverse of pack_vanilla_mlp_params' pad/split (zero-padded K rows carry
+    zero gradient, so slicing them off is exact)."""
+    out = {
+        "pts_0": {"kernel": d["w0"][:pos_dim], "bias": d["b0"][0]},
+        "bottleneck": {"kernel": d["wb"], "bias": d["bb"][0]},
+        "density": {"kernel": d["wd"], "bias": d["bd"][0]},
+        "views_0": {
+            "kernel": jnp.concatenate([d["wva"], d["wvb"][:view_dim]], axis=0),
+            "bias": d["bv"][0],
+        },
+        "rgb": {"kernel": d["wrgb"], "bias": d["brgb"][0]},
+    }
+    for i in range(1, 8):
+        if i == 5:
+            k = jnp.concatenate([d["w5a"], d["w5b"][:pos_dim]], axis=0)
+        else:
+            k = d[f"w{i}"]
+        out[f"pts_{i}"] = {"kernel": k, "bias": d[f"b{i}"][0]}
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def fused_mlp_train_xyz(mlp_params, enc_consts, samples, viewdirs, tile=TRAIN_TILE):
+    """v2 differentiable fused MLP: takes the FLAX NeRFMLP params subtree
+    directly (packing happens inside both fwd and bwd, and gradients are
+    unpacked back to the flax layout manually — keeping pad/slice transposes
+    out of the autodiff graph, which trips a jaxpr-cache KeyError when the
+    pack is traced under scan on TPU).
+
+    Raw (B, S, 3) sample coords + per-ray (B, 3) viewdirs; encodings
+    computed in-kernel.  Returns (raw_rgb (B, S, 3), raw_sigma (B, S, 1))."""
+    packed = pack_vanilla_mlp_params_f32(mlp_params)
+    out = _fwd_call_xyz(packed, enc_consts, samples, viewdirs, tile)
+    return out[..., :3], out[..., 3:]
+
+
+def _train_fwd_xyz(mlp_params, enc_consts, samples, viewdirs, tile):
+    packed = pack_vanilla_mlp_params_f32(mlp_params)
+    out = _fwd_call_xyz(packed, enc_consts, samples, viewdirs, tile)
+    return (out[..., :3], out[..., 3:]), (packed, enc_consts, samples, viewdirs)
+
+
+def _train_bwd_xyz(tile, res, cotangents):
+    packed, enc_consts, samples, viewdirs = res
+    g_rgb, g_sigma = cotangents
+    g = jnp.concatenate([g_rgb, g_sigma], axis=-1).astype(jnp.float32)
+    d_packed = _bwd_call_xyz(packed, enc_consts, samples, viewdirs, g, tile)
+    return (
+        unpack_vanilla_mlp_grads(d_packed),
+        jax.tree.map(jnp.zeros_like, enc_consts),
+        jnp.zeros_like(samples),
+        jnp.zeros_like(viewdirs),
+    )
+
+
+fused_mlp_train_xyz.defvjp(_train_fwd_xyz, _train_bwd_xyz)
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def fused_nerf_mlp_xyz_eval(packed, enc_consts, samples, viewdirs, tile=1024):
+    """Eval-only flat v2 entry (no grads): raw coords + per-ray viewdirs,
+    encodings in-kernel.  ``packed`` may be bf16 (pack_vanilla_mlp_params).
+    The per-ray variant's big ray-tiles overflow Mosaic's scoped-vmem stack
+    estimate at S~200; flat 1024-row tiles are comfortably inside."""
+    packed = {k: (v.reshape(1, -1) if v.ndim == 1 else v) for k, v in packed.items()}
+    out = _fwd_call_xyz(packed, enc_consts, samples, viewdirs, tile)
+    return out[..., :3], out[..., 3:]

@@ -23,7 +23,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from aon_tpu.core import sampling
 from aon_tpu.core.rendering import volumetric_rendering
-from aon_tpu.ops.fused_mlp import fused_nerf_mlp_per_ray, pack_vanilla_mlp_params
+from aon_tpu.ops.fused_mlp import make_posenc_constants, pack_vanilla_mlp_params
+from aon_tpu.ops.fused_mlp_train import fused_nerf_mlp_xyz_eval
 
 try:  # jax >= 0.3x public API
     shard_map = jax.shard_map
@@ -31,10 +32,10 @@ except AttributeError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 
-def _level(packed, rays, t_vals, samples, min_deg, max_deg, deg_view, white_bkgd, tile):
-    enc = sampling.pos_enc(samples, min_deg, max_deg)  # (B, S, 63)
-    venc = sampling.pos_enc(rays["viewdirs"], 0, deg_view)  # (B, 27) per ray
-    raw_rgb, raw_sigma = fused_nerf_mlp_per_ray(packed, enc, venc, ray_tile=tile)
+def _level(packed, enc_consts, rays, t_vals, samples, white_bkgd, tile):
+    raw_rgb, raw_sigma = fused_nerf_mlp_xyz_eval(
+        packed, enc_consts, samples, rays["viewdirs"], tile=tile
+    )
     rgb = jax.nn.sigmoid(raw_rgb)
     sigma = jax.nn.relu(raw_sigma)
     return volumetric_rendering(rgb, sigma, t_vals, rays["rays_d"], white_bkgd=white_bkgd)
@@ -51,11 +52,13 @@ def make_fused_render_fn(
     max_deg: int = 10,
     deg_view: int = 4,
     lindisp: bool = False,
-    tile: int = 16,  # rays per kernel tile (per-ray fused variant)
+    tile: int = 1024,  # per-sample rows per kernel tile (flat v2)
 ):
     """Returns jitted ``fn(params, rays) -> {comp_rgb, acc, depth}`` with
     ``params`` the VanillaNeRF flax params dict and ``rays`` sharded
     P("data") over ``mesh``.  Deterministic (randomized=False)."""
+
+    enc_consts = make_posenc_constants(max_deg=max_deg, view_deg=deg_view)
 
     def local_render(params, rays) -> Dict[str, jnp.ndarray]:
         packed_c = pack_vanilla_mlp_params(params["coarse_mlp"])
@@ -66,7 +69,7 @@ def make_fused_render_fn(
             randomized=False, lindisp=lindisp,
         )
         _, _, weights, _ = _level(
-            packed_c, rays, t_vals, samples, min_deg, max_deg, deg_view, white_bkgd, tile
+            packed_c, enc_consts, rays, t_vals, samples, white_bkgd, tile
         )
 
         t_mids = 0.5 * (t_vals[..., 1:] + t_vals[..., :-1])
@@ -75,7 +78,7 @@ def make_fused_render_fn(
             t_vals, num_fine, randomized=False,
         )
         comp_rgb, acc, _, depth = _level(
-            packed_f, rays, t_vals, samples, min_deg, max_deg, deg_view, white_bkgd, tile
+            packed_f, enc_consts, rays, t_vals, samples, white_bkgd, tile
         )
         return {"comp_rgb": comp_rgb, "acc": acc, "depth": depth}
 

@@ -22,18 +22,16 @@ import jax.numpy as jnp
 
 from aon_tpu.core import sampling
 from aon_tpu.core.rendering import img2mse, volumetric_rendering
-from aon_tpu.ops.fused_mlp_train import TRAIN_TILE, fused_mlp_train, pack_vanilla_mlp_params_f32
+from aon_tpu.ops.fused_mlp import make_posenc_constants
+from aon_tpu.ops.fused_mlp_train import fused_mlp_train_xyz
+
+TILE = 512  # per-sample rows per kernel tile (flat v2 kernels)
 
 
-def _level_train(packed, rays, t_vals, samples, key, cfg_dims, white_bkgd, noise_std, tile):
-    min_deg, max_deg, deg_view = cfg_dims
-    B, S, _ = samples.shape
-    enc = sampling.pos_enc(samples, min_deg, max_deg).reshape(B * S, -1)
-    venc = sampling.pos_enc(rays["viewdirs"], 0, deg_view)
-    venc = jnp.broadcast_to(venc[:, None, :], (B, S, venc.shape[-1])).reshape(B * S, -1)
-    raw_rgb, raw_sigma = fused_mlp_train(packed, enc, venc, tile)
-    raw_rgb = raw_rgb.reshape(B, S, 3)
-    raw_sigma = raw_sigma.reshape(B, S, 1)
+def _level_train(mlp_params, enc_consts, rays, t_vals, samples, key, white_bkgd, noise_std, tile):
+    raw_rgb, raw_sigma = fused_mlp_train_xyz(
+        mlp_params, enc_consts, samples, rays["viewdirs"], tile
+    )
     if noise_std > 0 and key is not None:
         raw_sigma = raw_sigma + jax.random.uniform(key, raw_sigma.shape) * noise_std
     rgb = jax.nn.sigmoid(raw_rgb)
@@ -52,25 +50,25 @@ def make_fused_loss_fn(
     deg_view: int = 4,
     noise_std: float = 0.0,
     lindisp: bool = False,
-    tile: int = TRAIN_TILE,
+    tile: int = TILE,
 ):
     """Returns ``loss_fn(params, batch, key) -> (loss, aux)`` matching the
     VanillaSystem contract (params = flax VanillaNeRF params tree)."""
-    cfg_dims = (min_deg, max_deg, deg_view)
+    enc_consts = make_posenc_constants(max_deg=max_deg, view_deg=deg_view)
 
     def loss_fn(params: Dict, batch: Dict, key: jax.Array):
         rays = {k: batch[k] for k in ("rays_o", "rays_d", "viewdirs")}
         k0, k1, k2, k3 = jax.random.split(key, 4)
-        packed_c = pack_vanilla_mlp_params_f32(params["coarse_mlp"])
-        packed_f = pack_vanilla_mlp_params_f32(params["fine_mlp"])
+        packed_c = params["coarse_mlp"]
+        packed_f = params["fine_mlp"]
 
         t_vals, samples = sampling.sample_along_rays(
             k0, rays["rays_o"], rays["rays_d"], num_coarse, near, far,
             randomized=True, lindisp=lindisp,
         )
         comp0, acc0, weights, _ = _level_train(
-            packed_c, rays, t_vals, samples, k1 if noise_std > 0 else None,
-            cfg_dims, white_bkgd, noise_std, tile,
+            packed_c, enc_consts, rays, t_vals, samples,
+            k1 if noise_std > 0 else None, white_bkgd, noise_std, tile,
         )
 
         t_mids = 0.5 * (t_vals[..., 1:] + t_vals[..., :-1])
@@ -79,8 +77,8 @@ def make_fused_loss_fn(
             t_vals, num_fine, randomized=True,
         )
         comp1, acc1, _, _ = _level_train(
-            packed_f, rays, t_vals, samples, k3 if noise_std > 0 else None,
-            cfg_dims, white_bkgd, noise_std, tile,
+            packed_f, enc_consts, rays, t_vals, samples,
+            k3 if noise_std > 0 else None, white_bkgd, noise_std, tile,
         )
 
         loss0 = img2mse(comp0, batch["target"])

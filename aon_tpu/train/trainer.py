@@ -110,9 +110,9 @@ class Trainer:
 
         profiling = False
         if cfg.profile_dir:
-            import jax.profiler
+            from jax import profiler as _jprofiler
 
-            jax.profiler.start_trace(cfg.profile_dir)
+            _jprofiler.start_trace(cfg.profile_dir)
             profiling = True
 
         for epoch in range(start_epoch, cfg.num_epochs):
@@ -163,9 +163,9 @@ class Trainer:
             )
 
             if profiling:  # trace covers the first trained epoch only
-                import jax.profiler
+                from jax import profiler as _jprofiler
 
-                jax.profiler.stop_trace()
+                _jprofiler.stop_trace()
                 profiling = False
                 print(f"profiler trace written to {cfg.profile_dir}")
 

@@ -49,24 +49,30 @@ def main() -> None:
     }
     sharded = shard_ray_batch(host_batch, mesh, microbatch=cfg.microbatch_rays)
 
-    # warmup / compile (3 calls: trace cache must be warm for the timed loop)
+    # production path: T steps scanned per dispatch (see train/microbatch.py)
+    from aon_tpu.parallel import stack_step_batches
+
+    T = 8
+    super_b = stack_step_batches([host_batch] * T, mesh, microbatch=cfg.microbatch_rays)
+
+    # warmup / compile (2 calls: trace cache must be warm for the timed loop)
     key = jax.random.PRNGKey(1)
-    for i in range(3):
-        state, m = system.train_step(state, sharded, jax.random.fold_in(key, i))
+    for i in range(2):
+        state, m = system.train_many(state, super_b, jax.random.fold_in(key, i))
         _ = float(m["train/loss"])
 
-    # NOTE: per-step host readback of the scalar loss — through the axon
+    # NOTE: per-dispatch host readback of the scalar loss — through the axon
     # relay, block_until_ready alone acks before execution completes, which
     # inflates throughput ~1000x.  The readback makes timing honest (and
-    # costs one scalar RTT per step, slightly UNDER-stating peak rate).
-    n_steps = 20
+    # costs one scalar RTT per dispatch, slightly UNDER-stating peak rate).
+    n_dispatch = 4
     t0 = time.perf_counter()
-    for i in range(n_steps):
-        state, m = system.train_step(state, sharded, jax.random.fold_in(key, 10 + i))
+    for i in range(n_dispatch):
+        state, m = system.train_many(state, super_b, jax.random.fold_in(key, 10 + i))
         _ = float(m["train/loss"])
     dt = time.perf_counter() - t0
 
-    rays_per_sec = batch * n_steps / dt
+    rays_per_sec = batch * T * n_dispatch / dt
     print(
         json.dumps(
             {

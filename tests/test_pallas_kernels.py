@@ -72,6 +72,60 @@ def test_fused_per_ray_matches_flax(setup):
     np.testing.assert_allclose(np.asarray(sigma), np.asarray(sigma_ref), atol=2e-4)
 
 
+def test_fused_xyz_eval_matches_flax(setup):
+    """v2 kernel: raw coords in, encodings computed in-kernel."""
+    from aon_tpu.ops.fused_mlp import fused_nerf_mlp_xyz, make_posenc_constants
+
+    mlp, params, enc, venc, rgb_ref, sigma_ref, B, S = setup
+    g = np.random.default_rng(2)
+    samples = jnp.asarray(g.normal(size=(B, S, 3)).astype(np.float32)) * 3.0
+    vd = jnp.asarray(g.normal(size=(B, 3)).astype(np.float32))
+    vd = vd / jnp.linalg.norm(vd, axis=-1, keepdims=True)
+    from aon_tpu.core.sampling import pos_enc as pe
+
+    rgb_ref2, sigma_ref2 = mlp.apply({"params": params}, pe(samples, 0, 10), pe(vd, 0, 4))
+    packed = pack_vanilla_mlp_params(params, dtype=jnp.float32)
+    consts = make_posenc_constants()
+    rgb, sigma = fused_nerf_mlp_xyz(packed, consts, samples, vd, ray_tile=4)
+    np.testing.assert_allclose(np.asarray(rgb), np.asarray(rgb_ref2), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(sigma), np.asarray(sigma_ref2), atol=5e-4)
+
+
+def test_fused_xyz_train_grads(setup):
+    from aon_tpu.ops.fused_mlp import make_posenc_constants
+    from aon_tpu.ops.fused_mlp_train import fused_mlp_train_xyz
+
+    mlp, params, enc, venc, rgb_ref, sigma_ref, B, S = setup
+    g = np.random.default_rng(3)
+    samples = jnp.asarray(g.normal(size=(B, S, 3)).astype(np.float32)) * 3.0
+    vd = jnp.asarray(g.normal(size=(B, 3)).astype(np.float32))
+    vd = vd / jnp.linalg.norm(vd, axis=-1, keepdims=True)
+    target = jnp.asarray(g.uniform(size=(B, S, 3)).astype(np.float32))
+    consts = make_posenc_constants()
+    from aon_tpu.core.sampling import pos_enc as pe
+
+    mlp_bf16 = NeRFMLP(dtype=jnp.bfloat16)
+
+    def loss_flax(p):
+        rgb, sig = mlp_bf16.apply({"params": p}, pe(samples, 0, 10), pe(vd, 0, 4))
+        return jnp.mean((rgb - target) ** 2) + jnp.mean(sig**2)
+
+    def loss_fused(p):
+        rgb, sig = fused_mlp_train_xyz(p, consts, samples, vd, 64)
+        return jnp.mean((rgb - target) ** 2) + jnp.mean(sig**2)
+
+    np.testing.assert_allclose(
+        float(loss_flax(params)), float(loss_fused(params)), rtol=1e-3
+    )
+    g1 = jax.grad(loss_flax)(params)
+    g2 = jax.grad(loss_fused)(params)
+    for path in ("pts_0", "pts_5", "density", "views_0", "rgb"):
+        a = np.asarray(g1[path]["kernel"])
+        b = np.asarray(g2[path]["kernel"])
+        scale = np.abs(a).max() + 1e-8
+        assert np.abs(a - b).max() / scale < 0.05, path
+
+
 def test_fused_train_grads_match_flax(setup):
     mlp, params, enc, venc, rgb_ref, sigma_ref, B, S = setup
     g = np.random.default_rng(1)
