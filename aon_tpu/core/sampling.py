@@ -39,6 +39,17 @@ def cast_rays(t_vals: jnp.ndarray, origins: jnp.ndarray, directions: jnp.ndarray
     return origins[..., None, :] + t_vals[..., None] * directions[..., None, :]
 
 
+def per_ray_uniform(
+    key: jax.Array, ray_ids: jnp.ndarray, n: int, dtype=jnp.float32
+) -> jnp.ndarray:
+    """(B, n) uniforms where row i depends only on (key, ray_ids[i]) —
+    independent of batch size, microbatching, or device sharding (the key
+    is folded with the GLOBAL ray index; SURVEY §7 'per-ray RNG under
+    shard_map')."""
+    keys = jax.vmap(lambda r: jax.random.fold_in(key, r))(ray_ids)
+    return jax.vmap(lambda k: jax.random.uniform(k, (n,), dtype=dtype))(keys)
+
+
 def sample_along_rays(
     key: Optional[jax.Array],
     rays_o: jnp.ndarray,
@@ -48,6 +59,7 @@ def sample_along_rays(
     far: float,
     randomized: bool,
     lindisp: bool = False,
+    ray_ids: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Stratified coarse sampling along rays.
 
@@ -70,7 +82,10 @@ def sample_along_rays(
         mids = 0.5 * (t_vals[..., 1:] + t_vals[..., :-1])
         upper = jnp.concatenate([mids, t_vals[..., -1:]], axis=-1)
         lower = jnp.concatenate([t_vals[..., :1], mids], axis=-1)
-        t_rand = jax.random.uniform(key, (bsz, num_samples + 1), dtype=dtype)
+        if ray_ids is not None:
+            t_rand = per_ray_uniform(key, ray_ids, num_samples + 1, dtype)
+        else:
+            t_rand = jax.random.uniform(key, (bsz, num_samples + 1), dtype=dtype)
         t_vals = lower + (upper - lower) * t_rand
     else:
         t_vals = jnp.broadcast_to(t_vals, (bsz, num_samples + 1))
@@ -104,6 +119,7 @@ def sorted_piecewise_constant_pdf(
     num_samples: int,
     randomized: bool,
     float_min_eps: float = 2.0**-32,
+    ray_ids: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Inverse-CDF sampling from a piecewise-constant pdf over sorted bins.
 
@@ -130,7 +146,10 @@ def sorted_piecewise_constant_pdf(
     if randomized:
         if key is None:
             raise ValueError("randomized PDF sampling requires a PRNG key")
-        u = jax.random.uniform(key, (*cdf.shape[:-1], num_samples), dtype=dtype)
+        if ray_ids is not None:
+            u = per_ray_uniform(key, ray_ids, num_samples, dtype)
+        else:
+            u = jax.random.uniform(key, (*cdf.shape[:-1], num_samples), dtype=dtype)
     else:
         u = jnp.linspace(0.0, 1.0 - float_min_eps, num_samples, dtype=dtype)
         u = jnp.broadcast_to(u, (*cdf.shape[:-1], num_samples))
@@ -168,6 +187,7 @@ def sample_pdf(
     t_vals: jnp.ndarray,
     num_samples: int,
     randomized: bool,
+    ray_ids: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Hierarchical fine resampling (reference helper.py:246-252).
 
@@ -176,7 +196,9 @@ def sample_pdf(
     Returns ``(t_union_sorted, coords)`` with shapes
     ``(B, T + num_samples)`` / ``(B, T + num_samples, 3)``.
     """
-    t_samples = sorted_piecewise_constant_pdf(key, bins, weights, num_samples, randomized)
+    t_samples = sorted_piecewise_constant_pdf(
+        key, bins, weights, num_samples, randomized, ray_ids=ray_ids
+    )
     t_samples = jax.lax.stop_gradient(t_samples)
     t_vals = jnp.sort(jnp.concatenate([t_vals, t_samples], axis=-1), axis=-1)
     # The t-value pipeline carries no parameter gradients (fine samples are

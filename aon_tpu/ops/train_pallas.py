@@ -58,13 +58,14 @@ def make_fused_loss_fn(
 
     def loss_fn(params: Dict, batch: Dict, key: jax.Array):
         rays = {k: batch[k] for k in ("rays_o", "rays_d", "viewdirs")}
+        ray_ids = batch.get("ray_ids")  # layout-independent per-ray RNG
         k0, k1, k2, k3 = jax.random.split(key, 4)
         packed_c = params["coarse_mlp"]
         packed_f = params["fine_mlp"]
 
         t_vals, samples = sampling.sample_along_rays(
             k0, rays["rays_o"], rays["rays_d"], num_coarse, near, far,
-            randomized=True, lindisp=lindisp,
+            randomized=True, lindisp=lindisp, ray_ids=ray_ids,
         )
         comp0, acc0, weights, _ = _level_train(
             packed_c, enc_consts, rays, t_vals, samples,
@@ -74,7 +75,7 @@ def make_fused_loss_fn(
         t_mids = 0.5 * (t_vals[..., 1:] + t_vals[..., :-1])
         t_vals, samples = sampling.sample_pdf(
             k2, t_mids, weights[..., 1:-1], rays["rays_o"], rays["rays_d"],
-            t_vals, num_fine, randomized=True,
+            t_vals, num_fine, randomized=True, ray_ids=ray_ids,
         )
         comp1, acc1, _, _ = _level_train(
             packed_f, enc_consts, rays, t_vals, samples,

@@ -23,7 +23,19 @@ import jax
 import jax.numpy as jnp
 
 # batch entries carrying a per-ray leading axis (everything else is shared)
-RAY_KEYS = ("rays_o", "rays_d", "viewdirs", "target", "instance_mask", "radii")
+RAY_KEYS = ("rays_o", "rays_d", "viewdirs", "target", "instance_mask", "radii", "ray_ids")
+
+
+def _inject_ray_ids(superbatch: Dict, m_global: int, offset) -> Dict:
+    """Attach GLOBAL per-ray indices (T, k, m_local) so randomized sampling
+    is independent of microbatching and device sharding (per-ray fold_in;
+    see core/sampling.per_ray_uniform)."""
+    ref = superbatch["rays_o"]  # (T, k, m_local, 3)
+    t_steps, k, m_local = ref.shape[:3]
+    micro = jax.lax.broadcasted_iota(jnp.int32, (k, m_local), 0)
+    row = jax.lax.broadcasted_iota(jnp.int32, (k, m_local), 1)
+    ids = micro * m_global + offset + row
+    return dict(superbatch, ray_ids=jnp.broadcast_to(ids[None], (t_steps, k, m_local)))
 
 
 def accumulated_grads(loss_fn: Callable, params, batch: Dict, key: jax.Array):
@@ -74,6 +86,63 @@ def accumulated_grads(loss_fn: Callable, params, batch: Dict, key: jax.Array):
     )
 
 
+def make_train_many_sharded(loss_fn: Callable, metrics_fn: Callable, mesh):
+    """Multi-chip variant of make_train_many for Pallas-kernel losses.
+
+    Pallas calls don't auto-partition under jit with sharded operands, so
+    the whole scan-of-steps runs inside ``shard_map`` over the mesh "data"
+    axis: each chip consumes its ray shard, gradients are ``pmean``-ed over
+    ICI inside, and the optimizer update happens replicated per chip
+    (identical inputs -> identical params, same as the single-jit path).
+    """
+    import functools as _ft
+
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        shard_map = jax.shard_map
+    except AttributeError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+
+    def local_many(state, superbatch, key):
+        t_steps = next(iter(superbatch.values())).shape[0]
+        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(t_steps))
+        m_local = superbatch["rays_o"].shape[2]
+        m_global = m_local * jax.lax.axis_size("data")
+        offset = jax.lax.axis_index("data") * m_local
+        superbatch = _inject_ray_ids(superbatch, m_global, offset)
+
+        def step(st, xs):
+            k, b = xs
+            loss, aux, grads = accumulated_grads(loss_fn, st.params, b, k)
+            loss, aux, grads = jax.lax.pmean((loss, aux, grads), "data")
+            st = st.apply_gradients(grads=grads)
+            return st, (loss, aux)
+
+        state, (losses, auxs) = jax.lax.scan(step, state, (keys, superbatch))
+        mean_aux = jax.tree.map(jnp.mean, auxs)
+        metrics = metrics_fn(jnp.mean(losses), mean_aux)
+        metrics["train/loss_last"] = losses[-1]
+        return state, metrics
+
+    @_ft.partial(jax.jit, donate_argnums=(0,))
+    def train_many(state, superbatch, key):
+        batch_specs = {
+            k: (P(None, None, "data") if k in RAY_KEYS else P())
+            for k in superbatch
+        }
+        fn = shard_map(
+            local_many,
+            mesh=mesh,
+            in_specs=(P(), batch_specs, P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return fn(state, superbatch, key)
+
+    return train_many
+
+
 def make_train_many(loss_fn: Callable, metrics_fn: Callable):
     """Multi-step dispatch: scan T optimizer steps inside ONE jitted call.
 
@@ -90,6 +159,9 @@ def make_train_many(loss_fn: Callable, metrics_fn: Callable):
     def train_many(state, superbatch, key):
         t_steps = next(iter(superbatch.values())).shape[0]
         keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(t_steps))
+        superbatch = _inject_ray_ids(
+            superbatch, superbatch["rays_o"].shape[2], 0
+        )
 
         def step(st, xs):
             k, b = xs

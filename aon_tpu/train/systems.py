@@ -99,10 +99,11 @@ class VanillaSystem:
             loss = loss0 + loss1
             return loss, {"loss0": loss0, "loss1": loss1}
 
-        # Fused Pallas train path: single-TPU only for now (multi-chip uses
-        # the flax path until the shard_map'd fused loss lands).
+        # Fused Pallas train path (TPU). Multi-chip runs the scan-of-steps
+        # inside shard_map (pallas calls don't auto-partition under jit).
         n_dev = self.mesh.devices.size if self.mesh is not None else 1
-        if cfg.use_pallas and jax.default_backend() == "tpu" and n_dev == 1:
+        use_fused = cfg.use_pallas and jax.default_backend() == "tpu"
+        if use_fused:
             from aon_tpu.ops.train_pallas import make_fused_loss_fn
 
             loss_fn = make_fused_loss_fn(
@@ -113,6 +114,7 @@ class VanillaSystem:
             )
         else:
             loss_fn = flax_loss_fn
+        self._fused_multichip = use_fused and n_dev > 1
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, batch, key):
@@ -132,7 +134,18 @@ class VanillaSystem:
                 "train/psnr1": mse2psnr(aux["loss1"]),
             }
 
-        self.train_many = make_train_many(loss_fn, metrics_fn)
+        if self._fused_multichip:
+            from aon_tpu.train.microbatch import make_train_many_sharded
+
+            self.train_many = make_train_many_sharded(loss_fn, metrics_fn, self.mesh)
+            many = self.train_many
+
+            def sharded_step(state, batch, key):
+                return many(state, jax.tree.map(lambda v: v[None], batch), key)
+
+            train_step = sharded_step
+        else:
+            self.train_many = make_train_many(loss_fn, metrics_fn)
 
         @jax.jit
         def render_chunk(params, rays):
