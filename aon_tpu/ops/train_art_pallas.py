@@ -1,0 +1,95 @@
+"""Fused training loss for the ARTICULATED NeRF (auto-decoder variant).
+
+Mirrors ops/train_pallas.py for the latent-conditioned model: sampling and
+compositing in XLA, both MLP passes through ``fused_art_mlp_train``
+(ops/fused_art.py) with gradients flowing to model weights AND latent
+tables.  Head activations follow the auto-decoder contract
+(model_autodecoder.py:265-267, 321-323): softplus(raw + density_bias),
+padded sigmoid rgb.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import jax
+import jax.numpy as jnp
+
+from aon_tpu.core import sampling
+from aon_tpu.core.rendering import img2mse, volumetric_rendering
+from aon_tpu.ops.fused_art import fused_art_mlp_train
+
+TILE = 512
+
+
+def _activations(raw_rgb, raw_sigma, sigma_activation, rgb_padding, density_bias):
+    rgb = jax.nn.sigmoid(raw_rgb)
+    if rgb_padding > 0:
+        rgb = rgb * (1 + 2 * rgb_padding) - rgb_padding
+    if sigma_activation == "softplus_bias":
+        sigma = jax.nn.softplus(raw_sigma + density_bias)
+    else:
+        sigma = jax.nn.relu(raw_sigma)
+    return rgb, sigma
+
+
+def make_fused_autodecoder_loss_fn(
+    lib_apply: Callable,
+    near: float,
+    far: float,
+    white_bkgd: bool,
+    num_coarse: int = 64,
+    num_fine: int = 128,
+    sigma_activation: str = "softplus_bias",
+    rgb_padding: float = 0.001,
+    density_bias: float = -1.0,
+    lindisp: bool = False,
+    tile: int = TILE,
+):
+    """loss_fn(params, batch, key) for AutoDecoderSystem with
+    params = {"model": flax ArticulatedNeRFMLP x2 tree, "code_library": ...}.
+    """
+
+    def level(mlp_params, latents, rays, t_vals, samples):
+        raw_rgb, raw_sigma = fused_art_mlp_train(
+            mlp_params, latents, samples, rays["viewdirs"], tile
+        )
+        rgb, sigma = _activations(
+            raw_rgb, raw_sigma, sigma_activation, rgb_padding, density_bias
+        )
+        return volumetric_rendering(rgb, sigma, t_vals, rays["rays_d"], white_bkgd=white_bkgd)
+
+    def loss_fn(params: Dict, batch: Dict, key: jax.Array):
+        latents = lib_apply(
+            {"params": params["code_library"]},
+            batch["instance_id"],
+            batch["articulation_id"],
+        )
+        rays = {k: batch[k] for k in ("rays_o", "rays_d", "viewdirs")}
+        ray_ids = batch.get("ray_ids")
+        k0, k2 = jax.random.split(key)
+
+        t_vals, samples = sampling.sample_along_rays(
+            k0, rays["rays_o"], rays["rays_d"], num_coarse, near, far,
+            randomized=True, lindisp=lindisp, ray_ids=ray_ids,
+        )
+        comp0, _, weights, _ = level(params["model"]["coarse_mlp"], latents, rays, t_vals, samples)
+
+        t_mids = 0.5 * (t_vals[..., 1:] + t_vals[..., :-1])
+        t_vals, samples = sampling.sample_pdf(
+            k2, t_mids, weights[..., 1:-1], rays["rays_o"], rays["rays_d"],
+            t_vals, num_fine, randomized=True, ray_ids=ray_ids,
+        )
+        comp1, _, _, _ = level(params["model"]["fine_mlp"], latents, rays, t_vals, samples)
+
+        loss0 = img2mse(comp0, batch["target"])
+        loss1 = img2mse(comp1, batch["target"])
+        # latent-norm regularization (model_autodecoder.py:456-466)
+        reg = 1e-4 * (
+            jnp.mean(jnp.linalg.norm(latents["density"], axis=0))
+            + jnp.mean(jnp.linalg.norm(latents["color"], axis=0))
+            + jnp.mean(jnp.linalg.norm(latents["articulation"], axis=0))
+        )
+        return loss0 + loss1 + reg, {"loss0": loss0, "loss1": loss1, "reg": reg}
+
+    return loss_fn

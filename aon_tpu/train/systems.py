@@ -179,8 +179,9 @@ class AutoDecoderSystem:
     single optax update here.
     """
 
-    def __init__(self, cfg: Config, near: float, far: float, white_bkgd: bool):
+    def __init__(self, cfg: Config, near: float, far: float, white_bkgd: bool, mesh=None):
         self.cfg = cfg
+        self.mesh = mesh
         self.near, self.far, self.white_bkgd = float(near), float(far), bool(white_bkgd)
         self.model = ArticulatedNeRF(
             num_coarse_samples=cfg.N_samples,
@@ -232,8 +233,9 @@ class AutoDecoderSystem:
     def _build_steps(self):
         model, lib = self.model, self.code_library
         near, far, white_bkgd = self.near, self.far, self.white_bkgd
+        cfg = self.cfg
 
-        def loss_fn(params, batch, key):
+        def flax_loss_fn(params, batch, key):
             latents = lib.apply(
                 {"params": params["code_library"]},
                 batch["instance_id"],
@@ -256,6 +258,20 @@ class AutoDecoderSystem:
             loss = loss0 + loss1 + reg
             return loss, {"loss0": loss0, "loss1": loss1, "reg": reg}
 
+        n_dev = self.mesh.devices.size if self.mesh is not None else 1
+        use_fused = cfg.use_pallas and jax.default_backend() == "tpu"
+        if use_fused:
+            from aon_tpu.ops.train_art_pallas import make_fused_autodecoder_loss_fn
+
+            loss_fn = make_fused_autodecoder_loss_fn(
+                lib.apply, near, far, white_bkgd,
+                num_coarse=cfg.N_samples, num_fine=cfg.N_importance,
+                lindisp=cfg.lindisp,
+            )
+        else:
+            loss_fn = flax_loss_fn
+        self._fused_multichip = use_fused and n_dev > 1
+
         @functools.partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, batch, key):
             loss, aux, grads = accumulated_grads(loss_fn, state.params, batch, key)
@@ -276,7 +292,18 @@ class AutoDecoderSystem:
                 "train/psnr1": mse2psnr(aux["loss1"]),
             }
 
-        self.train_many = make_train_many(loss_fn, metrics_fn)
+        if self._fused_multichip:
+            from aon_tpu.train.microbatch import make_train_many_sharded
+
+            self.train_many = make_train_many_sharded(loss_fn, metrics_fn, self.mesh)
+            many = self.train_many
+
+            def sharded_step(state, batch, key):
+                return many(state, jax.tree.map(lambda v: v[None], batch), key)
+
+            train_step = sharded_step
+        else:
+            self.train_many = make_train_many(loss_fn, metrics_fn)
 
         @functools.partial(jax.jit, static_argnames=("is_test",))
         def render_chunk(params, rays, instance_id, articulation_id, is_test=False):
@@ -298,7 +325,7 @@ def build_system(cfg: Config, near: float, far: float, white_bkgd: bool, mesh=No
     if cfg.exp_type == "vanilla":
         return VanillaSystem(cfg, near, far, white_bkgd, mesh=mesh)
     if cfg.exp_type == "vanilla_autodecoder":
-        return AutoDecoderSystem(cfg, near, far, white_bkgd)
+        return AutoDecoderSystem(cfg, near, far, white_bkgd, mesh=mesh)
     if cfg.exp_type == "vanilla_ae_art":
         from aon_tpu.train.system_ae import AutoEncoderSystem
 
