@@ -465,3 +465,14 @@ def _train_bwd(tile, res, cotangents):
 
 
 fused_art_mlp_train.defvjp(_train_fwd, _train_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def fused_art_mlp_eval(mlp_params, latents, samples, viewdirs, tile=1024):
+    """Eval-only fused articulated MLP (no grads, larger tiles)."""
+    from aon_tpu.ops.fused_mlp import make_posenc_constants
+
+    enc_consts = make_posenc_constants()
+    packed = fold_latents(mlp_params, latents)
+    out = _art_call(_art_fwd_kernel, packed, enc_consts, samples, viewdirs, tile, "fwd")
+    return out[..., :3], out[..., 3:]

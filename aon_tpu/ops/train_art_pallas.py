@@ -33,6 +33,55 @@ def _activations(raw_rgb, raw_sigma, sigma_activation, rgb_padding, density_bias
     return rgb, sigma
 
 
+def fused_two_level_train(
+    model_params: Dict,
+    latents: Dict,
+    batch: Dict,
+    key: jax.Array,
+    near: float,
+    far: float,
+    white_bkgd: bool,
+    num_coarse: int,
+    num_fine: int,
+    sigma_activation: str,
+    rgb_padding: float,
+    density_bias: float,
+    lindisp: bool = False,
+    tile: int = TILE,
+):
+    """Shared randomized two-level fused render for articulated training.
+
+    Returns ((comp0, acc0), (comp1, acc1)) — used by both the auto-decoder
+    and auto-encoder losses (they differ only in where latents come from
+    and which losses they compute)."""
+    rays = {k: batch[k] for k in ("rays_o", "rays_d", "viewdirs")}
+    ray_ids = batch.get("ray_ids")
+    k0, k2 = jax.random.split(key)
+
+    def level(mlp_params, t_vals, samples):
+        raw_rgb, raw_sigma = fused_art_mlp_train(
+            mlp_params, latents, samples, rays["viewdirs"], tile
+        )
+        rgb, sigma = _activations(
+            raw_rgb, raw_sigma, sigma_activation, rgb_padding, density_bias
+        )
+        return volumetric_rendering(rgb, sigma, t_vals, rays["rays_d"], white_bkgd=white_bkgd)
+
+    t_vals, samples = sampling.sample_along_rays(
+        k0, rays["rays_o"], rays["rays_d"], num_coarse, near, far,
+        randomized=True, lindisp=lindisp, ray_ids=ray_ids,
+    )
+    comp0, acc0, weights, _ = level(model_params["coarse_mlp"], t_vals, samples)
+
+    t_mids = 0.5 * (t_vals[..., 1:] + t_vals[..., :-1])
+    t_vals, samples = sampling.sample_pdf(
+        k2, t_mids, weights[..., 1:-1], rays["rays_o"], rays["rays_d"],
+        t_vals, num_fine, randomized=True, ray_ids=ray_ids,
+    )
+    comp1, acc1, _, _ = level(model_params["fine_mlp"], t_vals, samples)
+    return (comp0, acc0), (comp1, acc1)
+
+
 def make_fused_autodecoder_loss_fn(
     lib_apply: Callable,
     near: float,
@@ -93,3 +142,77 @@ def make_fused_autodecoder_loss_fn(
         return loss0 + loss1 + reg, {"loss0": loss0, "loss1": loss1, "reg": reg}
 
     return loss_fn
+
+
+def make_fused_art_render_fn(
+    lib_apply: Callable,
+    mesh,
+    near: float,
+    far: float,
+    white_bkgd: bool,
+    num_coarse: int = 64,
+    num_fine: int = 128,
+    sigma_activation: str = "softplus_bias",
+    rgb_padding: float = 0.001,
+    density_bias: float = -1.0,
+    lindisp: bool = False,
+    tile: int = 1024,
+):
+    """Deterministic fused two-level renderer for the auto-decoder:
+    fn(params, rays, instance_id, articulation_id, is_test) ->
+    {comp_rgb, acc, depth}; rays sharded P("data") over the mesh."""
+    import functools
+
+    from jax.sharding import PartitionSpec as P
+
+    from aon_tpu.ops.fused_art import fused_art_mlp_eval
+
+    try:
+        shard_map = jax.shard_map
+    except AttributeError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+
+    def level(mlp_params, latents, rays, t_vals, samples):
+        raw_rgb, raw_sigma = fused_art_mlp_eval(
+            mlp_params, latents, samples, rays["viewdirs"], tile=tile
+        )
+        rgb, sigma = _activations(
+            raw_rgb, raw_sigma, sigma_activation, rgb_padding, density_bias
+        )
+        return volumetric_rendering(rgb, sigma, t_vals, rays["rays_d"], white_bkgd=white_bkgd)
+
+    def local_render(params, rays, latents):
+        t_vals, samples = sampling.sample_along_rays(
+            None, rays["rays_o"], rays["rays_d"], num_coarse, near, far,
+            randomized=False, lindisp=lindisp,
+        )
+        _, _, weights, _ = level(params["model"]["coarse_mlp"], latents, rays, t_vals, samples)
+        t_mids = 0.5 * (t_vals[..., 1:] + t_vals[..., :-1])
+        t_vals, samples = sampling.sample_pdf(
+            None, t_mids, weights[..., 1:-1], rays["rays_o"], rays["rays_d"],
+            t_vals, num_fine, randomized=False,
+        )
+        comp_rgb, acc, _, depth = level(
+            params["model"]["fine_mlp"], latents, rays, t_vals, samples
+        )
+        return {"comp_rgb": comp_rgb, "acc": acc, "depth": depth}
+
+    if mesh is not None and mesh.devices.size > 1:
+        rays_spec = {"rays_o": P("data"), "rays_d": P("data"), "viewdirs": P("data")}
+        out_spec = {"comp_rgb": P("data"), "acc": P("data"), "depth": P("data")}
+        inner = shard_map(
+            local_render, mesh=mesh, in_specs=(P(), rays_spec, P()),
+            out_specs=out_spec, check_vma=False,
+        )
+    else:
+        inner = local_render
+
+    @functools.partial(jax.jit, static_argnames=("is_test",))
+    def render_fn(params, rays, instance_id, articulation_id, is_test=False):
+        latents = lib_apply(
+            {"params": params["code_library"]}, instance_id, articulation_id,
+            is_test=is_test,
+        )
+        return inner(params, rays, latents)
+
+    return render_fn

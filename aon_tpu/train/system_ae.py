@@ -53,8 +53,9 @@ class DegEmbedding(nn.Module):
 
 
 class AutoEncoderSystem:
-    def __init__(self, cfg: Config, near: float, far: float, white_bkgd: bool):
+    def __init__(self, cfg: Config, near: float, far: float, white_bkgd: bool, mesh=None):
         self.cfg = cfg
+        self.mesh = mesh
         self.near, self.far, self.white_bkgd = float(near), float(far), bool(white_bkgd)
         self.model = ArticulatedNeRF(
             num_coarse_samples=cfg.N_samples,
@@ -114,17 +115,33 @@ class AutoEncoderSystem:
 
     def _build_steps(self):
         model = self.model
+        cfg = self.cfg
         near, far, white_bkgd = self.near, self.far, self.white_bkgd
+        use_fused = cfg.use_pallas and jax.default_backend() == "tpu"
+        self._fused_multichip = use_fused and (
+            self.mesh is not None and self.mesh.devices.size > 1
+        )
 
         def loss_fn(params, batch, key):
             src = batch["src_imgs"]
             if src.ndim == 3:
                 src = src[None]
             latents, pred_state = self._encode(params, src, batch["deg"])
-            out = model.apply(
-                {"params": params["model"]}, _rays_of(batch), latents, key, True,
-                white_bkgd, near, far,
-            )
+            if use_fused:
+                from aon_tpu.ops.train_art_pallas import fused_two_level_train
+
+                (c0, a0), (c1, a1) = fused_two_level_train(
+                    params["model"], latents, batch, key, near, far, white_bkgd,
+                    cfg.N_samples, cfg.N_importance,
+                    sigma_activation="relu", rgb_padding=0.0, density_bias=0.0,
+                    lindisp=cfg.lindisp,
+                )
+                out = [(c0, a0), (c1, a1)]
+            else:
+                out = model.apply(
+                    {"params": params["model"]}, _rays_of(batch), latents, key, True,
+                    white_bkgd, near, far,
+                )
             mask = batch["instance_mask"].reshape(-1, 1)  # (B, 1) float
             mask3 = jnp.broadcast_to(mask, batch["target"].shape)
             denom = jnp.maximum(jnp.sum(mask3), 1.0)
@@ -169,9 +186,20 @@ class AutoEncoderSystem:
                 "train/psnr1": mse2psnr(aux["loss1"]),
             }
 
-        from aon_tpu.train.microbatch import make_train_many
+        if self._fused_multichip:
+            from aon_tpu.train.microbatch import make_train_many_sharded
 
-        self.train_many = make_train_many(loss_fn, metrics_fn)
+            self.train_many = make_train_many_sharded(loss_fn, metrics_fn, self.mesh)
+            many = self.train_many
+
+            def sharded_step(state, batch, key):
+                return many(state, jax.tree.map(lambda v: v[None], batch), key)
+
+            self.train_step = sharded_step
+        else:
+            from aon_tpu.train.microbatch import make_train_many
+
+            self.train_many = make_train_many(loss_fn, metrics_fn)
 
         @jax.jit
         def render_chunk(params, rays, src_imgs, deg):
@@ -187,5 +215,6 @@ class AutoEncoderSystem:
                 "pred_state": jnp.broadcast_to(pred_state.reshape(-1)[:1], comp_rgb.shape[:1]),
             }
 
-        self.train_step = train_step
+        if not self._fused_multichip:  # sharded_step already bound above
+            self.train_step = train_step
         self.render_chunk = render_chunk

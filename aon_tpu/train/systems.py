@@ -318,7 +318,16 @@ class AutoDecoderSystem:
             return {"comp_rgb": comp_rgb, "acc": acc, "depth": depth}
 
         self.train_step = train_step
-        self.render_chunk = render_chunk
+        if use_fused:
+            from aon_tpu.ops.train_art_pallas import make_fused_art_render_fn
+
+            self.render_chunk = make_fused_art_render_fn(
+                lib.apply, self.mesh, near, far, white_bkgd,
+                num_coarse=cfg.N_samples, num_fine=cfg.N_importance,
+                lindisp=cfg.lindisp,
+            )
+        else:
+            self.render_chunk = render_chunk
 
 
 def build_system(cfg: Config, near: float, far: float, white_bkgd: bool, mesh=None):
@@ -329,5 +338,5 @@ def build_system(cfg: Config, near: float, far: float, white_bkgd: bool, mesh=No
     if cfg.exp_type == "vanilla_ae_art":
         from aon_tpu.train.system_ae import AutoEncoderSystem
 
-        return AutoEncoderSystem(cfg, near, far, white_bkgd)
+        return AutoEncoderSystem(cfg, near, far, white_bkgd, mesh=mesh)
     raise ValueError(f"unknown exp_type: {cfg.exp_type}")
