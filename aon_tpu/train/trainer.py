@@ -62,6 +62,15 @@ class Trainer:
 
         self.system = build_system(cfg, near, far, wb, mesh=self.mesh)
         self.ckpt = CheckpointManager(str(self.result_dir), save_top_k=cfg.save_top_k)
+
+        def _replicate(state):
+            # restored checkpoints land on one device; renders consume
+            # mesh-sharded rays, and jit refuses mixed explicit placements
+            from aon_tpu.parallel import replicated_sharding
+
+            return jax.device_put(state, replicated_sharding(self.mesh))
+
+        self._replicate = _replicate
         self.logger = MetricLogger(str(self.result_dir), stdout_every=cfg.log_every_n_steps)
 
         key = jax.random.PRNGKey(cfg.seed)
@@ -92,7 +101,7 @@ class Trainer:
             resume = True
         if resume:
             try:
-                self.state = self.ckpt.restore(self.state, cfg.ckpt_path)
+                self.state = self._replicate(self.ckpt.restore(self.state, cfg.ckpt_path))
                 self.global_step = int(self.state.step)
                 print(f"resumed from step {self.global_step}")
             except FileNotFoundError:
@@ -242,7 +251,9 @@ class Trainer:
     def test(self, ckpt_name: Optional[str] = None) -> dict:
         cfg = self.cfg
         try:
-            self.state = self.ckpt.restore(self.state, ckpt_name or cfg.ckpt_path)
+            self.state = self._replicate(
+                self.ckpt.restore(self.state, ckpt_name or cfg.ckpt_path)
+            )
         except FileNotFoundError as e:
             print(f"warning: checkpoint not found ({e}); evaluating current params")
 
