@@ -55,17 +55,3 @@ def render_frame(
         for k, v in res.items():
             outs.setdefault(k, []).append(np.asarray(v))
     return {k: np.concatenate(v, 0)[:n] for k, v in outs.items()}
-
-
-def gather_frames(per_process_frames: list) -> list:
-    """Multi-host analogue of the reference's eval all_gather
-    (``models/interface.py:31-51``): each process renders a slice of the
-    test frames; rank order is preserved.  No-op in single-process runs.
-    """
-    if jax.process_count() == 1:
-        return per_process_frames
-    from jax.experimental import multihost_utils
-
-    stacked = np.stack(per_process_frames)
-    gathered = multihost_utils.process_allgather(stacked)
-    return list(gathered.reshape(-1, *stacked.shape[1:]))

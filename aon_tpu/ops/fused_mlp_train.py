@@ -388,15 +388,10 @@ def _bwd_body(enc, venc, g, w, gw, program_i):
     acc("b0", bias_grad(da))
 
 
-FWD_TILE = 2048  # fwd holds ~4 live activation tiles; bigger rows fill the
-# MXU pipeline better than the VMEM-limited bwd tile
-
-
 def _fwd_call_xyz(packed, enc_consts, xyz, vdir_rays, tile):
     """Flat dispatch: (B, S, 3) coords + (B, 3) per-ray dirs -> per-sample
     (N, 4) streams (the vdir broadcast costs 16 B/sample, still ~24x less
     than streaming precomputed encodings)."""
-    tile = max(tile, FWD_TILE)
     B, S, _ = xyz.shape
     n = B * S
     n_pad = (n + tile - 1) // tile * tile
