@@ -128,6 +128,7 @@ class Trainer:
             t_epoch = time.time()
             n_rays = 0
             steps_done = 0
+            metrics = None
             while steps_done < steps_per_epoch:
                 if self.global_step >= cfg.run_max_steps:
                     break
@@ -164,6 +165,9 @@ class Trainer:
                     )
                     self.logger.log(self.global_step, metrics)
 
+            # host readback before timing: async dispatch (and the axon
+            # relay's early ack) otherwise inflates the epoch rate
+            _ = float(metrics["train/loss"]) if metrics else None
             dt = time.time() - t_epoch
             self.logger.log(
                 self.global_step,
