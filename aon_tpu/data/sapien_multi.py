@@ -60,6 +60,10 @@ class SapienDatasetMulti:
         self.ray_batch_size = ray_batch_size
 
         self.ids = np.sort([f.name for f in os.scandir(root_dir) if f.is_dir()])
+        # decoded-frame cache: training revisits (instance, degree, image)
+        # tuples constantly and PNG decode + ray gen dominate host time
+        self._frame_cache = {}
+        self._frame_cache_cap = int(os.environ.get("AON_FRAME_CACHE", "512"))
         w, h = self.img_wh
         if eval_inference is not None:
             self.image_sizes = np.array([[h, w] for _ in range(N_TEST_FRAMES)])
@@ -89,6 +93,16 @@ class SapienDatasetMulti:
         out = np.full_like(img, bg)
         out[seg] = img[seg]
         return out
+
+    def _read_frame_cached(self, instance_id: str, degree_dir: str, image_id: int):
+        key = (instance_id, degree_dir, image_id)
+        hit = self._frame_cache.get(key)
+        if hit is not None:
+            return hit
+        frame = self._read_frame(instance_id, degree_dir, image_id)
+        if len(self._frame_cache) < self._frame_cache_cap:
+            self._frame_cache[key] = frame
+        return frame
 
     def _read_frame(self, instance_id: str, degree_dir: str, image_id: int, c2w_override=None):
         base = os.path.join(self.root_dir, instance_id, "train", degree_dir)
@@ -157,7 +171,7 @@ class SapienDatasetMulti:
             deg_paths = self._degree_dirs(instance_dir)
             deg_idx = int(g.integers(0, len(deg_paths)))
             image_id = int(g.integers(0, 59))
-            rays_o, viewdirs, rays_d, img, seg = self._read_frame(
+            rays_o, viewdirs, rays_d, img, seg = self._read_frame_cached(
                 instance_dir, deg_paths[deg_idx], image_id
             )
             pix_inds = g.integers(0, h * w, size=self.ray_batch_size)
