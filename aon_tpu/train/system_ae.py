@@ -204,10 +204,39 @@ class AutoEncoderSystem:
         @jax.jit
         def render_chunk(params, rays, src_imgs, deg):
             latents, pred_state = self._encode(params, src_imgs, deg)
-            out = model.apply(
-                {"params": params["model"]}, rays, latents, None, False, white_bkgd, near, far
-            )
-            comp_rgb, acc, depth = out[1]
+            if use_fused:
+                from aon_tpu.core import sampling
+                from aon_tpu.core.rendering import volumetric_rendering
+                from aon_tpu.ops.fused_art import fused_art_mlp_eval
+
+                def level(mlp_params, t_vals, samples):
+                    raw_rgb, raw_sigma = fused_art_mlp_eval(
+                        mlp_params, latents, samples, rays["viewdirs"]
+                    )
+                    return volumetric_rendering(
+                        jax.nn.sigmoid(raw_rgb), jax.nn.relu(raw_sigma),
+                        t_vals, rays["rays_d"], white_bkgd=white_bkgd,
+                    )
+
+                t_vals, samples = sampling.sample_along_rays(
+                    None, rays["rays_o"], rays["rays_d"], cfg.N_samples, near, far,
+                    randomized=False, lindisp=cfg.lindisp,
+                )
+                _, _, weights, _ = level(params["model"]["coarse_mlp"], t_vals, samples)
+                t_mids = 0.5 * (t_vals[..., 1:] + t_vals[..., :-1])
+                t_vals, samples = sampling.sample_pdf(
+                    None, t_mids, weights[..., 1:-1], rays["rays_o"], rays["rays_d"],
+                    t_vals, cfg.N_importance, randomized=False,
+                )
+                comp_rgb, acc, _, depth = level(
+                    params["model"]["fine_mlp"], t_vals, samples
+                )
+            else:
+                out = model.apply(
+                    {"params": params["model"]}, rays, latents, None, False,
+                    white_bkgd, near, far,
+                )
+                comp_rgb, acc, depth = out[1]
             return {
                 "comp_rgb": comp_rgb,
                 "acc": acc,

@@ -221,7 +221,12 @@ class Trainer:
         def chunk_fn(rays, **ex):
             return self.system.render_chunk(params, rays, **ex)
 
-        return render_frame(chunk_fn, frame, self.mesh, self.cfg.chunk, **extra)
+        chunk = self.cfg.chunk
+        if jax.default_backend() == "tpu":
+            # the XLA glue (per-chunk sort + compositing) fails to compile
+            # above ~30k rays per call on this backend; 30720 is validated
+            chunk = min(chunk, 30720)
+        return render_frame(chunk_fn, frame, self.mesh, chunk, **extra)
 
     def validate(self, epoch: int) -> float:
         psnrs, psnrs_obj = [], []
