@@ -22,7 +22,7 @@ bf16 with fp32 accumulation, gradients come back fp32.
 from __future__ import annotations
 
 import functools
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
@@ -37,7 +37,6 @@ from aon_tpu.ops.fused_mlp import (
     _encode_in_kernel,
     _interpret,
     _kernel,
-    make_posenc_constants,
 )
 
 # 512 rows: the bwd kernel holds fp32 weights + fp32 grad accumulators

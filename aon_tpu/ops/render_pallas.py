@@ -14,7 +14,6 @@ fine at any size), letting eval use large chunks.
 
 from __future__ import annotations
 
-import functools
 from typing import Dict
 
 import jax

@@ -18,7 +18,6 @@ from __future__ import annotations
 from typing import Dict
 
 import jax
-import jax.numpy as jnp
 
 from aon_tpu.core import sampling
 from aon_tpu.core.rendering import img2mse, volumetric_rendering

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from aon_tpu.core.rendering import img2mse, mse2psnr
+from aon_tpu.core.rendering import mse2psnr
 from aon_tpu.models import ArticulatedNeRF, JointStateDecoder
 from aon_tpu.models.resnet import ImgEncoderMultiHeadArt
 from aon_tpu.train.microbatch import accumulated_grads

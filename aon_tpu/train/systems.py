@@ -20,7 +20,7 @@ Loss/metric contracts:
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -6,7 +6,7 @@ and ``:311-332`` (ae_art, no depth): one horizontal strip per val frame.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Optional
 
 import numpy as np
 
