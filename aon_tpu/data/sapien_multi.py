@@ -210,5 +210,11 @@ class SapienDatasetMulti:
         sample = self._to_sample(rays_o, viewdirs, rays_d, img, seg)
         sample["instance_id"] = np.int32(val_idx)
         sample["articulation_id"] = np.int32(idx)
+        # articulation angle swept 0..90 deg over the 19 frames (5 deg/frame),
+        # mirroring the interpolated latent table the autodecoder indexes with
+        # articulation_id; drives the AE variant's deg embedding at test time.
+        # (The reference's test split drops deg entirely — commented out at
+        # sapien_multi.py:475 — leaving its AE test path without an angle.)
+        sample["deg"] = np.float32(np.deg2rad(5.0 * idx))
         sample["img_wh"] = np.array(self.img_wh)
         return sample

@@ -8,12 +8,16 @@ OWN copy of layer4 + global avgpool + linear: color->128, density->128,
 articulation->32.  Multi-view aggregation by mean (resnet_encoder.py:428-447)
 via ``encode_views``.
 
-Pretrained ImageNet weights are not downloadable in this offline image; the
-encoder trains from random init (the reference's ``pretrained=True`` is an
-initialization choice — the encoder is trained end-to-end either way).  A
-converted-weight loader hook is provided: ``params_from_npz`` consumes the
-output of ``scripts/convert_resnet_weights.py`` run on a machine with
-torchvision.
+Pretrained ImageNet weights are not downloadable in this offline image; by
+default the encoder trains from random init (the reference's
+``pretrained=True`` is an initialization choice — the encoder is trained
+end-to-end either way).  ``ImgEncoderMultiHeadArt.params_from_npz`` loads
+converted torchvision weights produced by
+``scripts/convert_resnet_weights.py`` (run it on a machine with
+torchvision); the converter + loader + flax forward are golden-tested
+against a torch forward pass in tests/test_weight_convert.py, and the
+training system picks the file up automatically via ``AON_RESNET_WEIGHTS``
+(or ``weights/resnet34.npz``).
 """
 
 from __future__ import annotations
@@ -135,3 +139,41 @@ class ImgEncoderMultiHeadArt(nn.Module):
         if how == "max":
             return {k: jnp.max(jnp.stack([o[k] for o in outs], 0), 0) for k in keys}
         raise NotImplementedError(f"aggregation {how!r} not supported")
+
+    @staticmethod
+    def params_from_npz(params: Dict, npz_path: str) -> Dict:
+        """Overlay converted ResNet-34 backbone weights onto a params tree.
+
+        ``npz_path`` is the output of ``scripts/convert_resnet_weights.py``:
+        conv kernels keyed by flax path (``conv1/kernel``,
+        ``layer1/block0/conv1/kernel``, ..., ``layer4/...``).  The shared
+        trunk takes conv1..layer3; each head's private layer4 copy is
+        initialized from the SAME torchvision layer4 (the reference
+        deep-copies layer4 per head, resnet_encoder.py:365-391).  Head fc
+        layers keep their existing (random) values — they have no
+        torchvision counterpart.  Raises KeyError/ValueError on missing
+        paths or shape mismatches.
+        """
+        import numpy as np
+        from flax.traverse_util import flatten_dict, unflatten_dict
+
+        data = np.load(npz_path)
+        flat = {"/".join(k): v for k, v in flatten_dict(params).items()}
+        for key in data.files:
+            val = data[key]
+            targets = (
+                [f"{head}_layer4/{key[len('layer4/'):]}"
+                 for head in ("color", "density", "articulation")]
+                if key.startswith("layer4/")
+                else [key]
+            )
+            for t in targets:
+                if t not in flat:
+                    raise KeyError(f"converted weight {key!r} has no param at {t!r}")
+                if tuple(flat[t].shape) != tuple(val.shape):
+                    raise ValueError(
+                        f"shape mismatch at {t!r}: param {tuple(flat[t].shape)} "
+                        f"vs converted {tuple(val.shape)}"
+                    )
+                flat[t] = jnp.asarray(val, dtype=flat[t].dtype)
+        return unflatten_dict({tuple(k.split("/")): v for k, v in flat.items()})

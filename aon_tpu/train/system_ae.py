@@ -97,8 +97,27 @@ class AutoEncoderSystem:
             "joint_state": self.joint_state.init(k3, jnp.zeros((1, 32)))["params"],
             "deg_embedding": self.deg_embedding.init(k4, jnp.array(0))["params"],
         }
+        params["encoder"] = self._maybe_pretrained_encoder(params["encoder"])
         state = TrainState.create(apply_fn=self.model.apply, params=params, tx=self.tx)
         return state.replace(step=jnp.asarray(0, jnp.int32))
+
+    @staticmethod
+    def _maybe_pretrained_encoder(encoder_params):
+        """Overlay converted torchvision ResNet-34 weights when available
+        (reference inits from ImageNet resnet34, resnet_encoder.py:311).
+        Path: $AON_RESNET_WEIGHTS or weights/resnet34.npz in the repo."""
+        import os
+
+        path = os.environ.get("AON_RESNET_WEIGHTS")
+        if not (path and os.path.exists(path)):
+            here = os.path.join(
+                os.path.dirname(__file__), "..", "..", "weights", "resnet34.npz"
+            )
+            path = os.path.abspath(here)
+        if os.path.exists(path):
+            print(f"initializing AE encoder backbone from {path}")
+            return ImgEncoderMultiHeadArt.params_from_npz(encoder_params, path)
+        return encoder_params
 
     def _encode(self, params, src_imgs, deg):
         latents = self.encoder.apply({"params": params["encoder"]}, src_imgs)

@@ -43,10 +43,44 @@ def _dtype(cfg: Config):
 
 
 def make_optimizer(cfg: Config):
-    schedule = nerf_lr_schedule(
+    """Config-routed optimizer + schedule.
+
+    The default pair (optimizer="adam", lr_scheduler="nerf_loglerp")
+    reproduces the reference's live path: plain Adam(0.9, 0.999) with the
+    log-lerp + sin-warmup schedule (model.py:386-419).  Anything else goes
+    through the train/optim.py factories (reference utils/__init__.py:32-88
+    surface, made reachable from the config — the reference parses these
+    flags but never wires them).
+    """
+    nerf_sched = nerf_lr_schedule(
         cfg.lr_init, cfg.lr_final, cfg.lr_delay_steps, cfg.lr_delay_mult, cfg.run_max_steps
     )
-    return optax.adam(schedule, b1=0.9, b2=0.999), schedule
+    if cfg.optimizer == "adam" and cfg.lr_scheduler == "nerf_loglerp":
+        return optax.adam(nerf_sched, b1=0.9, b2=0.999), nerf_sched
+
+    from aon_tpu.train.optim import get_optimizer, get_scheduler
+
+    if cfg.optimizer == "ranger":
+        raise ValueError(
+            "optimizer='ranger' (RAdam+Lookahead) needs LookaheadParams-wrapped "
+            "param trees, which the training systems' checkpoint/render paths "
+            "don't carry; use train/optim.get_optimizer directly for it"
+        )
+    if cfg.lr_scheduler == "nerf_loglerp":
+        schedule = nerf_sched
+    else:
+        steps_per_epoch = max(1, cfg.run_max_steps // max(1, cfg.num_epochs))
+        schedule = get_scheduler(
+            cfg.lr_init, cfg.lr_scheduler, cfg.num_epochs, steps_per_epoch,
+            decay_step=cfg.decay_step, decay_gamma=cfg.decay_gamma,
+            poly_exp=cfg.poly_exp, warmup_epochs=cfg.warmup_epochs,
+            warmup_multiplier=cfg.warmup_multiplier,
+        )
+    tx = get_optimizer(
+        cfg.optimizer, cfg.lr_init, momentum=cfg.momentum,
+        weight_decay=cfg.weight_decay, schedule=schedule,
+    )
+    return tx, schedule
 
 
 def _rays_of(batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:

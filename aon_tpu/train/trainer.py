@@ -82,9 +82,13 @@ class Trainer:
 
     def _train_iterator(self):
         cfg = self.cfg
+        # fold the restored global_step into the seed: a resumed run draws a
+        # fresh ray stream instead of replaying consumed batches from step 0
+        # (the reference's DataLoader reshuffles per epoch)
+        seed = cfg.seed + self.global_step
         if cfg.dataset_name == "sapien_multi":
-            return self.train_dataset.train_batches(seed=cfg.seed)
-        return self.train_dataset.ray_batches(cfg.batch_size, seed=cfg.seed)
+            return self.train_dataset.train_batches(seed=seed)
+        return self.train_dataset.ray_batches(cfg.batch_size, seed=seed)
 
     def _steps_per_epoch(self) -> int:
         cfg = self.cfg
@@ -230,6 +234,7 @@ class Trainer:
 
     def validate(self, epoch: int) -> float:
         psnrs, psnrs_obj = [], []
+        state_sq_errs, state_deg_errs = [], []
         first_viz = None
         for i, frame in enumerate(self._val_frames()):
             ret = self._render_full(self.state.params, frame)
@@ -238,6 +243,16 @@ class Trainer:
             if "instance_mask" in frame:
                 psnrs_obj.append(
                     M.psnr_masked(ret["comp_rgb"], frame["target"], frame["instance_mask"])
+                )
+            if "pred_state" in ret and "deg" in frame:
+                # joint-state regression metrics (model_ae_art.py:519-523):
+                # state_error_rad = MSE(pred, gt) in radians;
+                # abs_state_error_deg = round(deg(pred)) - round(deg(gt))
+                pred = float(np.mean(ret["pred_state"]))
+                gt = float(frame["deg"])
+                state_sq_errs.append((pred - gt) ** 2)
+                state_deg_errs.append(
+                    float(np.round(np.rad2deg(pred)) - np.round(np.rad2deg(gt)))
                 )
             if first_viz is None:
                 w, h = frame.get("img_wh", self.cfg.img_wh)
@@ -248,6 +263,9 @@ class Trainer:
         logs = {"val/psnr": val_psnr, "epoch": epoch}
         if psnrs_obj:
             logs["val/psnr_obj"] = float(np.nanmean(psnrs_obj))
+        if state_sq_errs:
+            logs["val/state_error_rad"] = float(np.mean(state_sq_errs))
+            logs["val/abs_state_error_deg"] = float(np.mean(state_deg_errs))
         self.logger.log(self.global_step, logs, force_stdout=True)
         if first_viz is not None:
             self.logger.log_image(

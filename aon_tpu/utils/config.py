@@ -69,6 +69,21 @@ class Config:
     lr_delay_mult: float = 0.01
     run_max_steps: int = 100000
     num_epochs: int = 80
+    # optimizer/scheduler factory surface (reference opt.py:135-187; dormant
+    # upstream — its live systems hardcode Adam + the log-lerp schedule).
+    # Here these are LIVE: the default pair ("adam", "nerf_loglerp")
+    # reproduces the reference's actual hot path; any other combination
+    # routes through aon_tpu/train/optim.py (sgd/adam->AdamW/radam +
+    # steplr/cosine/poly + gradual warmup).
+    optimizer: str = "adam"  # sgd | adam | radam | ranger
+    lr_scheduler: str = "nerf_loglerp"  # nerf_loglerp | steplr | cosine | poly
+    momentum: float = 0.9
+    weight_decay: float = 0.0
+    warmup_multiplier: float = 1.0
+    warmup_epochs: int = 0
+    decay_step: List[int] = field(default_factory=lambda: [20])
+    decay_gamma: float = 0.1
+    poly_exp: float = 0.9
 
     # eval artifacts
     save_path: str = "vanilla"
@@ -115,7 +130,7 @@ def _build_parser() -> argparse.ArgumentParser:
         name = f"--{f.name}"
         if f.name in _BOOL_FIELDS:
             p.add_argument(name, default=None, action="store_true")
-        elif f.name == "img_wh":
+        elif f.name in ("img_wh", "decay_step"):
             p.add_argument(name, nargs="+", type=int, default=None)
         else:
             typ = f.type

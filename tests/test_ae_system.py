@@ -86,3 +86,38 @@ def test_ae_train_step(eight_devices):
     p1 = [np.asarray(x) for x in jax.tree.leaves(state.params["encoder"])]
     total_delta = sum(float(np.abs(a - b).sum()) for a, b in zip(p0, p1))
     assert total_delta > 0.0
+
+
+@pytest.mark.slow
+def test_ae_validate_logs_state_metrics(tmp_path):
+    """Trainer.validate wires val/state_error_rad + val/abs_state_error_deg
+    from the AE render output (reference model_ae_art.py:519-523)."""
+    import json as _json
+    import subprocess as _sp
+    import sys as _sys
+    from pathlib import Path as _Path
+
+    repo = _Path(__file__).resolve().parent.parent
+    fixture = tmp_path / "multi"
+    _sp.run(
+        [_sys.executable, str(repo / "scripts/make_fixture_dataset.py"), str(fixture),
+         "--multi", "--n", "2", "--wh", "32", "24"],
+        check=True,
+    )
+    from aon_tpu.train.trainer import Trainer
+    from aon_tpu.utils.config import Config
+
+    cfg = Config(
+        dataset_name="sapien_multi", exp_type="vanilla_ae_art",
+        root_dir=str(fixture), img_wh=[32, 24], N_samples=4, N_importance=4,
+        compute_dtype="float32", limit_val_batches=1, chunk=768,
+        output_path=str(tmp_path / "results"), exp_name="ae_val",
+    )
+    tr = Trainer(cfg)
+    tr.validate(epoch=0)
+    lines = (tmp_path / "results" / "ae_val" / "metrics.jsonl").read_text().splitlines()
+    recs = [_json.loads(ln) for ln in lines]
+    val_recs = [r for r in recs if "val/state_error_rad" in r]
+    assert val_recs, "val/state_error_rad never logged"
+    assert "val/abs_state_error_deg" in val_recs[-1]
+    assert np.isfinite(val_recs[-1]["val/state_error_rad"])

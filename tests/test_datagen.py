@@ -92,3 +92,109 @@ def test_poses_only_cli(tmp_path):
     np.testing.assert_allclose(
         meta["focal"], focal_from_fovy(48), rtol=1e-6
     )
+
+
+def test_render_loop_with_mocked_sapien(tmp_path, monkeypatch):
+    """Exercises the full render_with_sapien path (reference
+    data_utils.py:117-242 analogue) with a fake sapien module: texture ->
+    rgb/seg/depth PNG bytes + transforms.json, per joint degree and split."""
+    import sys
+    import types
+
+    import numpy as np
+    from PIL import Image
+
+    W, H = 16, 12
+
+    class FakePose:
+        def __init__(self, m):
+            self.m = m
+
+        @staticmethod
+        def from_transformation_matrix(m):
+            return FakePose(m)
+
+    class FakeCamera:
+        fy = 19.77
+
+        def set_pose(self, pose):
+            self.pose = pose
+
+        def take_picture(self):
+            pass
+
+        def get_float_texture(self, name):
+            if name == "Color":
+                rgba = np.zeros((H, W, 4), np.float32)
+                rgba[..., 0] = 0.5
+                rgba[..., 3] = 1.0
+                return rgba
+            assert name == "Position"
+            pos = np.zeros((H, W, 4), np.float32)
+            pos[..., 2] = -3.25  # 3.25 m in front of the camera
+            return pos
+
+        def get_uint32_texture(self, name):
+            assert name == "Segmentation"
+            seg = np.zeros((H, W, 2), np.uint32)
+            seg[4:8, 6:10, 1] = 7  # actor id 7 blob
+            return seg
+
+    class FakeScene:
+        def set_timestep(self, dt): pass
+        def set_ambient_light(self, c): pass
+        def add_directional_light(self, d, c): pass
+        def create_urdf_loader(self):
+            return types.SimpleNamespace(
+                fix_root_link=True,
+                load_kinematic=lambda path: types.SimpleNamespace(
+                    dof=1, set_qpos=lambda q: None
+                ),
+            )
+        def add_camera(self, name, width, height, fovy, near, far):
+            assert (width, height) == (W, H)
+            return FakeCamera()
+        def step(self): pass
+        def update_render(self): pass
+
+    class FakeEngine:
+        def set_renderer(self, r): pass
+        def create_scene(self): return FakeScene()
+
+    fake_core = types.SimpleNamespace(
+        Engine=FakeEngine,
+        SapienRenderer=lambda offscreen_only: object(),
+        Pose=FakePose,
+    )
+    fake_pkg = types.ModuleType("sapien")
+    fake_pkg.core = fake_core
+    monkeypatch.setitem(sys.modules, "sapien", fake_pkg)
+    monkeypatch.setitem(sys.modules, "sapien.core", fake_core)
+
+    from datagen.data_gen import render_with_sapien
+
+    cfg = {
+        "urdf_file": "fake.urdf",
+        "output_dir": str(tmp_path / "out"),
+        "resolution": [W, H],
+        "splits": {"train": 2, "val": 1},
+        "joint_degrees": [0, 30],
+        "seed": 0,
+    }
+    render_with_sapien(cfg)
+
+    for split, n in (("train", 2), ("val", 1)):
+        for deg in (0, 30):
+            base = tmp_path / "out" / split / f"{deg}_degree"
+            meta = json.loads((base / "transforms.json").read_text())
+            assert meta["focal"] == pytest.approx(19.77)
+            assert set(meta["frames"]) == {f"r_{i}" for i in range(n)}
+            rgba = np.asarray(Image.open(base / "rgb" / "r_0.png"))
+            assert rgba.shape == (H, W, 4)
+            # alpha zeroed outside the seg mask, kept inside
+            assert rgba[0, 0, 3] == 0 and rgba[5, 7, 3] == 255
+            seg = np.asarray(Image.open(base / "seg" / "r_0.png"))
+            assert seg[5, 7] == 255 and seg[0, 0] == 0
+            depth = np.asarray(Image.open(base / "depth" / "r_0.png"))
+            assert depth.dtype == np.int32 or depth.dtype == np.uint16
+            assert int(depth[0, 0]) == 3250  # -z * 1000 mm

@@ -193,3 +193,73 @@ def test_cli_smoke_fit_and_eval(tmp_path):
     assert r2.returncode == 0, r2.stderr[-2000:]
     results = json.loads((tmp_path / "ckpts" / "pytest_smoke" / "results.json").read_text())
     assert "PSNR" in results and "SSIM" in results
+
+
+def test_config_routed_optimizer_radam(eight_devices):
+    """Config-driven radam + cosine (factories wired through make_optimizer)."""
+    from aon_tpu.parallel import get_mesh, shard_ray_batch
+    from aon_tpu.train.systems import VanillaSystem
+    from aon_tpu.utils.config import Config
+
+    cfg = Config(
+        batch_size=64, N_samples=8, N_importance=8, compute_dtype="float32",
+        optimizer="radam", lr_scheduler="cosine",
+    )
+    system = VanillaSystem(cfg, 2.0, 6.0, True)
+    # cosine schedule actually routed (nerf_loglerp starts at lr_init*delay_mult)
+    np.testing.assert_allclose(float(system.lr_schedule(0)), cfg.lr_init, rtol=1e-6)
+    state = system.init_state(jax.random.PRNGKey(0))
+    before = np.asarray(jax.tree.leaves(state.params)[0]).copy()
+    batch = shard_ray_batch(_host_batch(), get_mesh(8))
+    state, m = system.train_step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["train/loss"]))
+    after = np.asarray(jax.tree.leaves(state.params)[0])
+    assert not np.allclose(before, after)
+
+
+def test_make_optimizer_default_matches_live_path():
+    from aon_tpu.train.schedule import nerf_lr_schedule
+    from aon_tpu.train.systems import make_optimizer
+    from aon_tpu.utils.config import Config
+
+    cfg = Config()
+    _, sched = make_optimizer(cfg)
+    ref = nerf_lr_schedule(cfg.lr_init, cfg.lr_final, cfg.lr_delay_steps,
+                           cfg.lr_delay_mult, cfg.run_max_steps)
+    for step in (0, 500, 2500, 50000):
+        np.testing.assert_allclose(float(sched(step)), float(ref(step)), rtol=1e-6)
+
+
+def test_make_optimizer_ranger_raises():
+    from aon_tpu.train.systems import make_optimizer
+    from aon_tpu.utils.config import Config
+
+    with pytest.raises(ValueError, match="ranger"):
+        make_optimizer(Config(optimizer="ranger"))
+
+
+def test_resume_stream_not_replayed(tmp_path):
+    """A resumed run must draw fresh batches, not replay the step-0 stream
+    (VERDICT r1 item 7: fold global_step into the data-iterator seed)."""
+    from aon_tpu.train.trainer import Trainer
+    from aon_tpu.utils.config import Config
+
+    fixture = tmp_path / "data"
+    subprocess.run(
+        [sys.executable, str(REPO / "scripts/make_fixture_dataset.py"), str(fixture),
+         "--n", "2", "--wh", "16", "12"],
+        check=True,
+    )
+    cfg = Config(
+        dataset_name="sapien", root_dir=str(fixture), img_wh=[16, 12],
+        N_samples=4, N_importance=4, batch_size=32, compute_dtype="float32",
+        output_path=str(tmp_path / "results"), exp_name="resume_seed",
+    )
+    tr = Trainer(cfg)
+    b0 = next(tr._train_iterator())
+    tr.global_step = 7
+    b7 = next(tr._train_iterator())
+    assert not np.allclose(b0["rays_o"], b7["rays_o"])
+    tr.global_step = 0
+    again = next(tr._train_iterator())
+    np.testing.assert_array_equal(b0["rays_o"], again["rays_o"])
