@@ -24,6 +24,7 @@ from aon_tpu.core import sampling
 from aon_tpu.core.rendering import volumetric_rendering
 from aon_tpu.ops.fused_mlp import make_posenc_constants, pack_vanilla_mlp_params
 from aon_tpu.ops.fused_mlp_train import fused_nerf_mlp_xyz_eval
+from aon_tpu.ops.resample_pallas import sample_pdf_fused
 
 try:  # jax >= 0.3x public API
     shard_map = jax.shard_map
@@ -72,7 +73,7 @@ def make_fused_render_fn(
         )
 
         t_mids = 0.5 * (t_vals[..., 1:] + t_vals[..., :-1])
-        t_vals, samples = sampling.sample_pdf(
+        t_vals, samples = sample_pdf_fused(
             None, t_mids, weights[..., 1:-1], rays["rays_o"], rays["rays_d"],
             t_vals, num_fine, randomized=False,
         )

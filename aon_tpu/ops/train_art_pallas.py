@@ -17,6 +17,7 @@ import jax.numpy as jnp
 
 from aon_tpu.core import sampling
 from aon_tpu.core.rendering import img2mse, volumetric_rendering
+from aon_tpu.ops.resample_pallas import sample_pdf_fused
 from aon_tpu.ops.fused_art import fused_art_mlp_train
 
 TILE = 512
@@ -74,7 +75,7 @@ def fused_two_level_train(
     comp0, acc0, weights, _ = level(model_params["coarse_mlp"], t_vals, samples)
 
     t_mids = 0.5 * (t_vals[..., 1:] + t_vals[..., :-1])
-    t_vals, samples = sampling.sample_pdf(
+    t_vals, samples = sample_pdf_fused(
         k2, t_mids, weights[..., 1:-1], rays["rays_o"], rays["rays_d"],
         t_vals, num_fine, randomized=True, ray_ids=ray_ids,
     )
@@ -125,7 +126,7 @@ def make_fused_autodecoder_loss_fn(
         comp0, _, weights, _ = level(params["model"]["coarse_mlp"], latents, rays, t_vals, samples)
 
         t_mids = 0.5 * (t_vals[..., 1:] + t_vals[..., :-1])
-        t_vals, samples = sampling.sample_pdf(
+        t_vals, samples = sample_pdf_fused(
             k2, t_mids, weights[..., 1:-1], rays["rays_o"], rays["rays_d"],
             t_vals, num_fine, randomized=True, ray_ids=ray_ids,
         )
@@ -188,7 +189,7 @@ def make_fused_art_render_fn(
         )
         _, _, weights, _ = level(params["model"]["coarse_mlp"], latents, rays, t_vals, samples)
         t_mids = 0.5 * (t_vals[..., 1:] + t_vals[..., :-1])
-        t_vals, samples = sampling.sample_pdf(
+        t_vals, samples = sample_pdf_fused(
             None, t_mids, weights[..., 1:-1], rays["rays_o"], rays["rays_d"],
             t_vals, num_fine, randomized=False,
         )

@@ -23,6 +23,7 @@ from aon_tpu.core import sampling
 from aon_tpu.core.rendering import img2mse, volumetric_rendering
 from aon_tpu.ops.fused_mlp import make_posenc_constants
 from aon_tpu.ops.fused_mlp_train import fused_mlp_train_xyz
+from aon_tpu.ops.resample_pallas import sample_pdf_fused
 
 TILE = 512  # per-sample rows per kernel tile (flat v2 kernels)
 
@@ -50,9 +51,15 @@ def make_fused_loss_fn(
     noise_std: float = 0.0,
     lindisp: bool = False,
     tile: int = TILE,
+    randomized: bool = True,
 ):
     """Returns ``loss_fn(params, batch, key) -> (loss, aux)`` matching the
-    VanillaSystem contract (params = flax VanillaNeRF params tree)."""
+    VanillaSystem contract (params = flax VanillaNeRF params tree).
+
+    ``randomized=False`` freezes both sampling levels to their deterministic
+    quantiles (linspace u) — used by tests to compare against the flax path
+    sample-for-sample (the randomized fine-level quantiles are sorted order
+    statistics, stream-incompatible with core.sampling's iid draws)."""
     enc_consts = make_posenc_constants(max_deg=max_deg, view_deg=deg_view)
 
     def loss_fn(params: Dict, batch: Dict, key: jax.Array):
@@ -64,7 +71,7 @@ def make_fused_loss_fn(
 
         t_vals, samples = sampling.sample_along_rays(
             k0, rays["rays_o"], rays["rays_d"], num_coarse, near, far,
-            randomized=True, lindisp=lindisp, ray_ids=ray_ids,
+            randomized=randomized, lindisp=lindisp, ray_ids=ray_ids,
         )
         comp0, acc0, weights, _ = _level_train(
             packed_c, enc_consts, rays, t_vals, samples,
@@ -72,9 +79,9 @@ def make_fused_loss_fn(
         )
 
         t_mids = 0.5 * (t_vals[..., 1:] + t_vals[..., :-1])
-        t_vals, samples = sampling.sample_pdf(
+        t_vals, samples = sample_pdf_fused(
             k2, t_mids, weights[..., 1:-1], rays["rays_o"], rays["rays_d"],
-            t_vals, num_fine, randomized=True, ray_ids=ray_ids,
+            t_vals, num_fine, randomized=randomized, ray_ids=ray_ids,
         )
         comp1, acc1, _, _ = _level_train(
             packed_f, enc_consts, rays, t_vals, samples,

@@ -218,7 +218,7 @@ def bench_fwd(name, body, tile, n=1 << 18, k=48, dtype=jnp.bfloat16, rtt=0.0):
 def bench_train(name, n=1 << 17, k=12, tile=512, bf16_weights=False, rtt=0.0):
     """fwd+bwd of the actual training kernels (fused_mlp_train_xyz path)."""
     from aon_tpu.ops.fused_mlp import make_posenc_constants
-    from aon_tpu.ops import fused_mlp_train as FT
+    import importlib; FT = importlib.import_module("aon_tpu.ops.fused_mlp_train")
 
     mlp = NeRFMLP()
     variables = mlp.init(
@@ -264,7 +264,7 @@ def bench_parts(name, n=1 << 18, k=16, tile=512, wdtype=jnp.float32, part="fwd+b
     """Time the raw train kernels (fused_mlp_train_xyz internals) with the
     packing hoisted OUT of the timed region, at a chosen weight dtype."""
     from aon_tpu.ops.fused_mlp import make_posenc_constants
-    from aon_tpu.ops import fused_mlp_train as FT
+    import importlib; FT = importlib.import_module("aon_tpu.ops.fused_mlp_train")
 
     mlp = NeRFMLP()
     variables = mlp.init(
@@ -334,10 +334,136 @@ def main():
             try:
                 bench_parts(name, rtt=rtt, **kw)
             except Exception as e:
-                print(json.dumps({"variant": name, "error": str(e)[:300]}), flush=True)
+                print(json.dumps({"variant": name, "error": repr(e)[:300]}), flush=True)
+
+    from aon_tpu.ops.fused_mlp import _mlp_body
+
+    body_specs = [
+        ("body_base512", _mlp_body, 512),
+        ("body_2s512", _mlp_body_2s, 512),
+        ("body_2s1024", _mlp_body_2s, 1024),
+        ("body_bf16acc512", _mlp_body_bf16acc, 512),
+    ]
+    for name, body, tile in body_specs:
+        if on(name):
+            try:
+                bench_fwd(name, body, tile, rtt=rtt)
+            except Exception as e:
+                print(json.dumps({"variant": name, "error": repr(e)[:300]}), flush=True)
     if on("train512"):
         bench_train("train512", tile=512, rtt=rtt)
 
 
 if __name__ == "__main__":
     main()
+
+
+# ---------------------------------------------------- encoding variants
+
+def _encode_mxu(x4, s, p, dtype):
+    """pos-enc with the scale/scatter as an MXU f32 matmul (T,4)@(4,64)."""
+    x4 = x4.astype(jnp.float32)
+    pre = jax.lax.dot_general(
+        x4, s[...].astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + p[...].astype(jnp.float32)
+    two_pi = 2.0 * 3.14159265358979
+    reduced = pre - two_pi * jnp.floor(pre * (1.0 / two_pi) + 0.5)
+    col = jax.lax.broadcasted_iota(jnp.int32, pre.shape, 1)
+    return jnp.where(col < 3, pre, jnp.sin(reduced)).astype(dtype)
+
+
+def bench_xyz_body(name, encode_fn, tile=512, n=1 << 18, k=48, rtt=0.0):
+    """xyz fwd kernel with a swappable encoding implementation."""
+    from aon_tpu.ops.fused_mlp import (
+        _ENC_ORDER, _mlp_body, make_posenc_constants,
+    )
+
+    packed = _params(jnp.bfloat16)
+    enc_consts = make_posenc_constants()
+    g = np.random.default_rng(0)
+    xyz = jnp.asarray(np.pad(g.normal(size=(n, 3)), ((0, 0), (0, 1))), jnp.float32)
+    vdir = jnp.asarray(np.pad(g.normal(size=(n, 3)), ((0, 0), (0, 1))), jnp.float32)
+
+    def kernel(xyz_ref, vdir_ref, *refs):
+        e = dict(zip(_ENC_ORDER, refs[: len(_ENC_ORDER)]))
+        rest = refs[len(_ENC_ORDER):]
+        w = dict(zip(_WEIGHT_ORDER, rest[:-1]))
+        out_ref = rest[-1]
+        dtype = w["w0"].dtype
+        enc = encode_fn(xyz_ref[...], e["s_pos"], e["p_pos"], dtype)
+        venc = encode_fn(vdir_ref[...], e["s_view"], e["p_view"], dtype)
+        _mlp_body(enc, venc, w, out_ref)
+
+    enc_args = [enc_consts[kk] for kk in _ENC_ORDER]
+    weights = [packed[kk] for kk in _WEIGHT_ORDER]
+
+    def call(xyz, vdir):
+        return pl.pallas_call(
+            kernel,
+            interpret=_interpret(),
+            grid=(n // tile,),
+            in_specs=[
+                pl.BlockSpec((tile, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in enc_args],
+                *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weights],
+            ],
+            out_specs=pl.BlockSpec((tile, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n, 4), jnp.float32),
+        )(xyz, vdir, *enc_args, *weights)
+
+    @jax.jit
+    def chained(xyz, vdir):
+        def step(c, _):
+            out = call(xyz + 0.0 * c, vdir)
+            return jnp.sum(out[:, 3]), None
+        c, _ = jax.lax.scan(step, jnp.zeros(()), None, length=48)
+        return c
+
+    t0 = time.perf_counter()
+    _ = float(chained(xyz, vdir))
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _ = float(chained(xyz, vdir))
+    dt = time.perf_counter() - t0 - rtt
+    tflops = n * 48 * FLOPS_PER_SAMPLE / dt / 1e12
+    print(json.dumps({"variant": name, "tile": tile, "tflops": round(tflops, 1),
+                      "ms": round(dt * 1e3, 1), "compile_s": round(compile_s, 1)}),
+          flush=True)
+    return tflops
+
+
+def _encode_doubling(x4, s, p, dtype, deg=None, width=None):
+    """pos-enc via sin/cos angle-doubling: 2 transcendentals total, then
+    per-octave (2s*c, 1-2s^2) recurrences + masked selects.  Exact w.r.t.
+    range reduction (doubling a 2pi-reduced angle preserves sin/cos of the
+    unreduced product)."""
+    if width is None:
+        width = s.shape[-1]
+    if deg is None:
+        deg = (width // 3 - 1) // 2  # 64 -> 10, 32 -> 4
+    x4 = x4.astype(jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (x4.shape[0], width), 1)
+    # xtile[:, j] = x_{c(j)} for every identity/sin/cos column
+    c_of = jnp.where(col < 3, col, (col - 3) % 3)
+    xtile = jnp.where(c_of == 0, x4[:, 0:1], 0.0)
+    xtile = jnp.where(c_of == 1, x4[:, 1:2], xtile)
+    xtile = jnp.where(c_of == 2, x4[:, 2:3], xtile)
+    two_pi = 2.0 * 3.14159265358979
+    r = xtile - two_pi * jnp.floor(xtile * (1.0 / two_pi) + 0.5)
+    s_cur = jnp.sin(r)
+    c_cur = jnp.cos(r)
+    oct_sin = (col - 3) // 3
+    oct_cos = (col - 3 - 3 * deg) // 3
+    is_sin = (col >= 3) & (col < 3 + 3 * deg)
+    is_cos = (col >= 3 + 3 * deg) & (col < 3 + 6 * deg)
+    out = xtile  # identity cols survive; freq cols overwritten below
+    for d in range(deg):
+        out = jnp.where(is_sin & (oct_sin == d), s_cur, out)
+        out = jnp.where(is_cos & (oct_cos == d), c_cur, out)
+        if d + 1 < deg:
+            s_next = 2.0 * s_cur * c_cur
+            c_cur = 1.0 - 2.0 * s_cur * s_cur
+            s_cur = s_next
+    return out.astype(dtype)

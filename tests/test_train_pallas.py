@@ -33,18 +33,30 @@ def test_fused_loss_matches_flax_loss():
     model, params, batch, key, S = _setup()
     rays = {k: batch[k] for k in ("rays_o", "rays_d", "viewdirs")}
 
-    def flax_loss(p, k):
-        out = model.apply({"params": p}, rays, k, True, True, 2.0, 6.0)
+    def flax_loss(p):
+        out = model.apply({"params": p}, rays, None, False, True, 2.0, 6.0)
         l0 = jnp.mean((out[0][0] - batch["target"]) ** 2)
         l1 = jnp.mean((out[1][0] - batch["target"]) ** 2)
         return l0 + l1
 
-    fused_loss_fn = make_fused_loss_fn(2.0, 6.0, True, num_coarse=S, num_fine=S, tile=64)
-    l_flax = float(flax_loss(params, key))
+    # deterministic quantiles on both paths -> identical sample positions;
+    # remaining delta is bf16 matmuls only.  (The randomized fused path draws
+    # sorted order-statistic quantiles — same distribution as the reference's
+    # draw-then-sort, but not the same stream, so it can't be compared
+    # sample-for-sample.)
+    fused_loss_fn = make_fused_loss_fn(
+        2.0, 6.0, True, num_coarse=S, num_fine=S, tile=64, randomized=False
+    )
+    l_flax = float(flax_loss(params))
     l_fused, aux = fused_loss_fn(params, batch, key)
-    # identical PRNG stream -> identical sample positions; bf16 matmuls only
     np.testing.assert_allclose(float(l_fused), l_flax, rtol=2e-2)
     assert float(aux["loss0"]) > 0 and float(aux["loss1"]) > 0
+
+    # randomized path: sane loss in the same ballpark
+    fused_rand = make_fused_loss_fn(2.0, 6.0, True, num_coarse=S, num_fine=S, tile=64)
+    l_rand, _ = fused_rand(params, batch, key)
+    assert np.isfinite(float(l_rand))
+    np.testing.assert_allclose(float(l_rand), l_flax, rtol=0.5)
 
 
 def test_fused_loss_grads_flow_to_both_mlps():
