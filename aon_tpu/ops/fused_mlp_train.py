@@ -42,6 +42,12 @@ from aon_tpu.ops.fused_mlp import (
 # 512 rows: the bwd kernel holds fp32 weights + fp32 grad accumulators
 # (~4.8 MB) plus ~12 live activation tiles; 1024-row tiles overflow the
 # 16 MB VMEM budget by ~0.4 MB.
+#
+# NOTE (round-2 measurement): preconverting weights to bf16 outside the
+# kernels REGRESSES the end-to-end step ~6% (69k -> 65k rays/s on v5e):
+# the MXU converts f32 operands to its bf16 pass for free in the load
+# path, while bf16 weights flip the fwd body's compute dtype and force
+# explicit per-layer activation casts.  Keep fp32 packed weights.
 TRAIN_TILE = 512
 
 # (rows, cols) of every packed tensor, in _WEIGHT_ORDER (biases as (1, C))

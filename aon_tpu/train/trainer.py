@@ -227,9 +227,11 @@ class Trainer:
 
         chunk = self.cfg.chunk
         if jax.default_backend() == "tpu":
-            # the XLA glue (per-chunk sort + compositing) fails to compile
-            # above ~30k rays per call on this backend; 30720 is validated
-            chunk = min(chunk, 30720)
+            # validated ceiling; the old 30720 limit came from the XLA
+            # sort/compare-count resample glue, now replaced by the Pallas
+            # resample kernel (ops/resample_pallas.py) which compiles and
+            # runs at 61440 rays/chunk
+            chunk = min(chunk, 61440)
         return render_frame(chunk_fn, frame, self.mesh, chunk, **extra)
 
     def validate(self, epoch: int) -> float:

@@ -78,16 +78,28 @@ def generate_poses(cfg: Dict) -> Dict[str, np.ndarray]:
 
 
 def render_with_sapien(cfg: Dict) -> None:
-    """Offscreen URDF rendering via the SAPIEN engine (external C++ pkg)."""
-    try:
-        import sapien.core as sapien
-    except ImportError as e:
-        raise RuntimeError(
-            "The 'sapien' package is not installed in this image. Dataset "
-            "generation needs it; install sapien on a CPU machine and re-run. "
-            "Pose generation and the output layout are available without it "
-            "(generate_poses / write_transforms)."
-        ) from e
+    """Offscreen URDF rendering.
+
+    Backends (config key ``backend``):
+      * ``"sapien"`` (default): the real SAPIEN engine (external C++ pkg);
+      * ``"soft"``: the built-in software ray tracer (datagen/softsim.py),
+        which implements the same API slice — the loop below is identical
+        either way, so the render path has real runtime coverage even on
+        images without the sapien package.
+    """
+    backend = cfg.get("backend", "sapien")
+    if backend == "soft":
+        from datagen import softsim as sapien
+    else:
+        try:
+            import sapien.core as sapien
+        except ImportError as e:
+            raise RuntimeError(
+                "The 'sapien' package is not installed in this image. Either "
+                "install sapien on a CPU machine and re-run, or set "
+                '"backend": "soft" in the config to use the built-in '
+                "software ray tracer (URDF box geometry)."
+            ) from e
 
     w, h = cfg["resolution"]
     engine = sapien.Engine()
@@ -112,9 +124,10 @@ def render_with_sapien(cfg: Dict) -> None:
     focal = cam.fy if hasattr(cam, "fy") else focal_from_fovy(h)
 
     for deg in joint_degrees:
-        if deg is not None:
+        pose_deg = deg if deg is not None else cfg.get("qpos_deg")
+        if pose_deg is not None and asset.dof > 0:
             qpos = np.zeros(asset.dof)
-            qpos[0] = math.radians(deg)
+            qpos[0] = math.radians(pose_deg)
             asset.set_qpos(qpos)
         for split, poses in poses_by_split.items():
             if deg is None:
@@ -147,7 +160,17 @@ def render_with_sapien(cfg: Dict) -> None:
                     os.path.join(base, "depth", f"{name}.png")
                 )
                 frames[name] = c2w
-            write_transforms(os.path.join(base, "transforms.json"), frames, focal=focal)
+            if deg is None:
+                # single-scene loaders use the literal focal unrescaled
+                write_transforms(os.path.join(base, "transforms.json"), frames, focal=focal)
+            else:
+                # sapien_multi derives focal from camera_angle_x at h with a
+                # w/320 rescale — write the fovy so generation resolution
+                # [320, 240] round-trips exactly (sapien_multi.py:115-116)
+                write_transforms(
+                    os.path.join(base, "transforms.json"), frames,
+                    camera_angle_x=math.radians(FOVY_DEG),
+                )
     print(f"wrote dataset under {cfg['output_dir']}")
 
 

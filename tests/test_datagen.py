@@ -1,6 +1,7 @@
 """Datagen tests: pose math and output layout (SAPIEN-free paths)."""
 
 import json
+import math
 import subprocess
 import sys
 from pathlib import Path
@@ -187,7 +188,9 @@ def test_render_loop_with_mocked_sapien(tmp_path, monkeypatch):
         for deg in (0, 30):
             base = tmp_path / "out" / split / f"{deg}_degree"
             meta = json.loads((base / "transforms.json").read_text())
-            assert meta["focal"] == pytest.approx(19.77)
+            # articulated sweeps store camera_angle_x (= fovy): sapien_multi
+            # derives focal as 0.5*h/tan(0.5*cax) * w/320 (sapien_multi.py:115)
+            assert meta["camera_angle_x"] == pytest.approx(math.radians(35.0))
             assert set(meta["frames"]) == {f"r_{i}" for i in range(n)}
             rgba = np.asarray(Image.open(base / "rgb" / "r_0.png"))
             assert rgba.shape == (H, W, 4)
