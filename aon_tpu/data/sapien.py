@@ -155,12 +155,8 @@ class SapienDataset:
 
     def full_frame(self, idx: int) -> Dict[str, np.ndarray]:
         w, h = self.img_wh
-        if self.split == "train":
-            img_file = self.img_files[idx]
-            pose = np.array(self.meta["frames"][img_file.split(".")[0]], dtype=np.float32)
-        else:
-            img_file = self.img_files[idx]
-            pose = np.array(self.meta["frames"][img_file.split(".")[0]], dtype=np.float32)
+        img_file = self.img_files[idx]
+        pose = np.array(self.meta["frames"][img_file.split(".")[0]], dtype=np.float32)
         c2w = pose[:3, :4]
         rgba = _load_rgba(os.path.join(self.base_dir, "rgb", img_file), self.img_wh)
         valid_mask = (rgba[..., 3] > 0).reshape(-1)

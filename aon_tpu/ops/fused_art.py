@@ -184,13 +184,19 @@ def _art_forward(xyz4, vdir4, e, enc_consts, dtype):
     return acts
 
 
-def _art_fwd_kernel(xyz_ref, vdir_ref, *refs):
+def _art_fwd_kernel(xv_ref, *refs):
+    """xv_ref: TRANSPOSED (8, T) [x,y,z,0,vx,vy,vz,0] stream; out (4, T).
+    Wide-minor blocks avoid the 32x T(8,128) relayout scratch that narrow
+    (T, 4) operands force on XLA (see fused_mlp_train._kernel_xyz_flat)."""
     enc_c = dict(zip(_ENC_ORDER, refs[: len(_ENC_ORDER)]))
     rest = refs[len(_ENC_ORDER) :]
     e = dict(zip(_EFF_ORDER, rest[:-1]))
     out_ref = rest[-1]
-    acts = _art_forward(xyz_ref[...], vdir_ref[...], e, enc_c, jnp.bfloat16)
-    out_ref[...] = jnp.concatenate([acts["rgb"], acts["sigma"]], axis=-1)
+    xv = jnp.transpose(xv_ref[...])  # (T, 8)
+    acts = _art_forward(xv[:, :4], xv[:, 4:], e, enc_c, jnp.bfloat16)
+    out_ref[...] = jnp.transpose(
+        jnp.concatenate([acts["rgb"], acts["sigma"]], axis=-1)
+    )
 
 
 def _posenc_vjp(d_enc, xp, s_pos, p_pos):
@@ -211,7 +217,8 @@ def _posenc_vjp(d_enc, xp, s_pos, p_pos):
     )
 
 
-def _art_bwd_kernel(xyz_ref, vdir_ref, g_ref, *refs):
+def _art_bwd_kernel(xv_ref, g_ref, *refs):
+    """Transposed (8, T) coord/viewdir and (4, T) cotangent streams."""
     enc_c = dict(zip(_ENC_ORDER, refs[: len(_ENC_ORDER)]))
     rest = refs[len(_ENC_ORDER) :]
     n_e = len(_EFF_ORDER)
@@ -238,11 +245,12 @@ def _art_bwd_kernel(xyz_ref, vdir_ref, g_ref, *refs):
             preferred_element_type=jnp.float32,
         )
 
-    xyz4 = xyz_ref[...]
-    g = g_ref[...]
+    xv = jnp.transpose(xv_ref[...])  # (T, 8)
+    xyz4 = xv[:, :4]
+    g = jnp.transpose(g_ref[...])  # (T, 4)
     g_rgb, g_sigma = g[:, :3], g[:, 3:4]
 
-    acts = _art_forward(xyz4, vdir_ref[...], e, enc_c, bf)
+    acts = _art_forward(xyz4, xv[:, 4:], e, enc_c, bf)
 
     def acc(name, val):
         ge[name][...] += val
@@ -319,19 +327,19 @@ def _art_call(kernel, packed, enc_consts, samples, vdirs_per_ray, tile, out_kind
     vdir4 = jnp.pad(vdir, ((0, n_pad - n), (0, 1)))
     enc_args = [enc_consts[k] for k in _ENC_ORDER]
     weights = [packed[k] for k in _EFF_ORDER]
-    data_in = [xyz4, vdir4]
+    # transposed wide-minor streams (see _art_fwd_kernel docstring)
+    data_in = [jnp.concatenate([xyz4, vdir4], axis=1).T]
     data_specs = [
-        pl.BlockSpec((tile, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((tile, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
     ]
     if g is not None:
-        data_in.append(jnp.pad(g.reshape(n, 4), ((0, n_pad - n), (0, 0))))
+        data_in.append(jnp.pad(g.reshape(n, 4), ((0, n_pad - n), (0, 0))).T)
         data_specs.append(
-            pl.BlockSpec((tile, 4), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((4, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
         )
     if out_kind == "fwd":
-        out_specs = pl.BlockSpec((tile, 4), lambda i: (i, 0), memory_space=pltpu.VMEM)
-        out_shape = jax.ShapeDtypeStruct((n_pad, 4), jnp.float32)
+        out_specs = pl.BlockSpec((4, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((4, n_pad), jnp.float32)
     else:
         out_specs = [
             pl.BlockSpec(_EFF_SHAPES[k], lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -353,7 +361,7 @@ def _art_call(kernel, packed, enc_consts, samples, vdirs_per_ray, tile, out_kind
         out_shape=out_shape,
     )(*data_in, *enc_args, *weights)
     if out_kind == "fwd":
-        return out[:n].reshape(B, S, 4)
+        return out.T[:n].reshape(B, S, 4)
     return dict(zip(_EFF_ORDER, out))
 
 

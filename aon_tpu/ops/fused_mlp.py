@@ -152,6 +152,11 @@ def _encode_in_kernel(x4, s, p, dtype):
 
 def _mlp_body(enc, venc, w, out_ref):
     """Shared trunk+heads body; enc (T, 64) and venc (T, 32) in compute dtype."""
+    out_ref[...] = _mlp_compute(enc, venc, w)
+
+
+def _mlp_compute(enc, venc, w):
+    """Trunk + heads returning the (T, 4) [rgb | sigma] block."""
     dtype = enc.dtype
 
     def dot(a, b):
@@ -175,7 +180,7 @@ def _mlp_body(enc, venc, w, out_ref):
         dot(bottleneck, w["wva"][...]) + dot(venc, w["wvb"][...]) + w["bv"][...], 0.0
     ).astype(dtype)
     rgb = dot(v, w["wrgb"][...]) + w["brgb"][...]  # (T, 3) fp32
-    out_ref[...] = jnp.concatenate([rgb, sigma], axis=-1)
+    return jnp.concatenate([rgb, sigma], axis=-1)
 
 
 def _kernel(enc_ref, venc_ref, *refs):

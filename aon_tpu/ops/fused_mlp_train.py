@@ -294,24 +294,32 @@ fused_mlp_train.defvjp(_train_fwd, _train_bwd)
 # traffic once the MLP itself is fused.
 
 
-def _kernel_xyz_flat(xyz_ref, vdir_ref, *refs):
-    """Flat v2 fwd kernel: per-sample (T, 4) coords and viewdirs; both
-    encodings computed in-kernel."""
+def _kernel_xyz_flat(xv_ref, *refs):
+    """Flat v2 fwd kernel.
+
+    Streams arrive TRANSPOSED: ``xv_ref`` is an (8, T) block holding
+    [x, y, z, pad, vx, vy, vz, pad] rows, and the output block is (4, T)
+    [r, g, b, sigma] rows.  Narrow-minor (T, 4) operands would force XLA to
+    relayout each 16-byte row into a 512-byte T(8,128) tile row — 32x HBM
+    scratch (3 GB per 2M samples, the round-2 eval OOM); wide-minor (8, T)
+    blocks carry zero padding, and the (8, T) -> (T, 8) transpose is a
+    cheap in-register shuffle."""
     e = dict(zip(_ENC_ORDER, refs[: len(_ENC_ORDER)]))
     rest = refs[len(_ENC_ORDER) :]
     w = dict(zip(_WEIGHT_ORDER, rest[:-1]))
     out_ref = rest[-1]
-    from aon_tpu.ops.fused_mlp import _mlp_body
+    from aon_tpu.ops.fused_mlp import _mlp_compute
 
     dtype = w["w0"].dtype
-    enc = _encode_in_kernel(xyz_ref[...], e["s_pos"], e["p_pos"], dtype)
-    venc = _encode_in_kernel(vdir_ref[...], e["s_view"], e["p_view"], dtype)
-    _mlp_body(enc, venc, w, out_ref)
+    xv = jnp.transpose(xv_ref[...])  # (T, 8)
+    enc = _encode_in_kernel(xv[:, :4], e["s_pos"], e["p_pos"], dtype)
+    venc = _encode_in_kernel(xv[:, 4:], e["s_view"], e["p_view"], dtype)
+    out_ref[...] = jnp.transpose(_mlp_compute(enc, venc, w))
 
 
-def _bwd_kernel_xyz_flat(xyz_ref, vdir_ref, g_ref, *refs):
-    """Flat v2 bwd kernel: 512-row tiles fit VMEM (the per-ray variant's
-    8-ray x 200-sample tiles overflow the scoped-vmem stack estimate)."""
+def _bwd_kernel_xyz_flat(xv_ref, g_ref, *refs):
+    """Flat v2 bwd kernel: transposed (8, T) coord/viewdir and (4, T)
+    cotangent streams (see _kernel_xyz_flat); 512-row tiles fit VMEM."""
     e = dict(zip(_ENC_ORDER, refs[: len(_ENC_ORDER)]))
     rest = refs[len(_ENC_ORDER) :]
     n_w = len(_WEIGHT_ORDER)
@@ -319,9 +327,10 @@ def _bwd_kernel_xyz_flat(xyz_ref, vdir_ref, g_ref, *refs):
     gw = dict(zip(_WEIGHT_ORDER, rest[n_w:]))
     bf = jnp.bfloat16
 
-    enc = _encode_in_kernel(xyz_ref[...], e["s_pos"], e["p_pos"], bf)
-    venc = _encode_in_kernel(vdir_ref[...], e["s_view"], e["p_view"], bf)
-    _bwd_body(enc, venc, g_ref[...], w, gw, pl.program_id(0))
+    xv = jnp.transpose(xv_ref[...])  # (T, 8)
+    enc = _encode_in_kernel(xv[:, :4], e["s_pos"], e["p_pos"], bf)
+    venc = _encode_in_kernel(xv[:, 4:], e["s_view"], e["p_view"], bf)
+    _bwd_body(enc, venc, jnp.transpose(g_ref[...]), w, gw, pl.program_id(0))
 
 
 def _bwd_body(enc, venc, g, w, gw, program_i):
@@ -393,16 +402,25 @@ def _bwd_body(enc, venc, g, w, gw, program_i):
     acc("b0", bias_grad(da))
 
 
-def _fwd_call_xyz(packed, enc_consts, xyz, vdir_rays, tile):
-    """Flat dispatch: (B, S, 3) coords + (B, 3) per-ray dirs -> per-sample
-    (N, 4) streams (the vdir broadcast costs 16 B/sample, still ~24x less
-    than streaming precomputed encodings)."""
+def _pack_xv_T(xyz, vdir_rays, tile):
+    """(B, S, 3) coords + (B, 3) per-ray dirs -> TRANSPOSED (8, n_pad)
+    stream [x, y, z, 0, vx, vy, vz, 0] (see _kernel_xyz_flat: wide-minor
+    layout avoids the 32x T(8,128) relayout scratch of (N, 4) operands)."""
     B, S, _ = xyz.shape
     n = B * S
     n_pad = (n + tile - 1) // tile * tile
     xyz4 = jnp.pad(xyz.reshape(n, 3), ((0, n_pad - n), (0, 1)))
     vdir = jnp.broadcast_to(vdir_rays[:, None, :], (B, S, 3)).reshape(n, 3)
     vdir4 = jnp.pad(vdir, ((0, n_pad - n), (0, 1)))
+    return jnp.concatenate([xyz4, vdir4], axis=1).T, n, n_pad
+
+
+def _fwd_call_xyz(packed, enc_consts, xyz, vdir_rays, tile):
+    """Flat dispatch: (B, S, 3) coords + (B, 3) per-ray dirs -> one
+    transposed (8, N) stream (the vdir broadcast costs 16 B/sample, still
+    ~24x less than streaming precomputed encodings)."""
+    B, S, _ = xyz.shape
+    xv, n, n_pad = _pack_xv_T(xyz, vdir_rays, tile)
     enc_args = [enc_consts[k] for k in _ENC_ORDER]
     weights = [packed[k] for k in _WEIGHT_ORDER]
     out = pl.pallas_call(
@@ -410,25 +428,20 @@ def _fwd_call_xyz(packed, enc_consts, xyz, vdir_rays, tile):
         interpret=_interpret(),
         grid=(n_pad // tile,),
         in_specs=[
-            pl.BlockSpec((tile, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in enc_args],
             *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weights],
         ],
-        out_specs=pl.BlockSpec((tile, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_pad, 4), jnp.float32),
-    )(xyz4, vdir4, *enc_args, *weights)
-    return out[:n].reshape(B, S, 4)
+        out_specs=pl.BlockSpec((4, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4, n_pad), jnp.float32),
+    )(xv, *enc_args, *weights)
+    return out.T[:n].reshape(B, S, 4)
 
 
 def _bwd_call_xyz(packed, enc_consts, xyz, vdir_rays, g, tile):
     B, S, _ = xyz.shape
-    n = B * S
-    n_pad = (n + tile - 1) // tile * tile
-    xyz4 = jnp.pad(xyz.reshape(n, 3), ((0, n_pad - n), (0, 1)))
-    vdir = jnp.broadcast_to(vdir_rays[:, None, :], (B, S, 3)).reshape(n, 3)
-    vdir4 = jnp.pad(vdir, ((0, n_pad - n), (0, 1)))
-    g_flat = jnp.pad(g.reshape(n, 4), ((0, n_pad - n), (0, 0)))  # zero grad pad
+    xv, n, n_pad = _pack_xv_T(xyz, vdir_rays, tile)
+    g_flat = jnp.pad(g.reshape(n, 4), ((0, n_pad - n), (0, 0))).T  # zero grad pad
     enc_args = [enc_consts[k] for k in _ENC_ORDER]
     weights = [packed[k] for k in _WEIGHT_ORDER]
     grads = pl.pallas_call(
@@ -436,9 +449,8 @@ def _bwd_call_xyz(packed, enc_consts, xyz, vdir_rays, g, tile):
         interpret=_interpret(),
         grid=(n_pad // tile,),
         in_specs=[
-            pl.BlockSpec((tile, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in enc_args],
             *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weights],
         ],
@@ -447,7 +459,7 @@ def _bwd_call_xyz(packed, enc_consts, xyz, vdir_rays, g, tile):
             for k in _WEIGHT_ORDER
         ],
         out_shape=[jax.ShapeDtypeStruct(_SHAPES[k], jnp.float32) for k in _WEIGHT_ORDER],
-    )(xyz4, vdir4, g_flat, *enc_args, *weights)
+    )(xv, g_flat, *enc_args, *weights)
     return dict(zip(_WEIGHT_ORDER, grads))
 
 

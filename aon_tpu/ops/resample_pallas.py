@@ -134,7 +134,11 @@ def _resample_kernel(n_bins, n_t, n_u, t_ref, bins_ref, cdf_ref, u_ref, out_ref)
 
 
 @functools.partial(jax.jit, static_argnames=("num_samples", "tile"))
-def fused_resample(t_vals, bins, weights, u, num_samples=128, tile=256):
+def fused_resample(t_vals, bins, weights, u, num_samples=128, tile=128):
+    # tile 128: 256-row tiles put the kernel's scoped-vmem stack at 16.77M
+    # (just over the 16M limit) when compiled inside the full eval render at
+    # 61440-ray chunks; 128 rows leave ~2x headroom at negligible cost (the
+    # kernel is <1% of a render).
     """(B, n_t) sorted coarse t-vals + piecewise-constant pdf + sorted
     quantiles u (B, num_samples) -> sorted union (B, n_t + num_samples).
 

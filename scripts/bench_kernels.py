@@ -354,8 +354,6 @@ def main():
         bench_train("train512", tile=512, rtt=rtt)
 
 
-if __name__ == "__main__":
-    main()
 
 
 # ---------------------------------------------------- encoding variants
@@ -467,3 +465,6 @@ def _encode_doubling(x4, s, p, dtype, deg=None, width=None):
             c_cur = 1.0 - 2.0 * s_cur * s_cur
             s_cur = s_next
     return out.astype(dtype)
+
+if __name__ == "__main__":
+    main()
