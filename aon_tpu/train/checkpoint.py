@@ -65,7 +65,12 @@ class CheckpointManager:
     def restore(self, state: Any, name: Optional[str] = None) -> Any:
         """Restore into the structure of ``state`` (a fresh init)."""
         name = name or "last.ckpt"
-        path = os.path.join(self.directory, name)
+        # --ckpt_path may be a full path to any checkpoint dir (reference
+        # run.py:156-163); bare names resolve inside this run's directory
+        if os.path.isdir(name):
+            path = os.path.abspath(name)  # orbax requires absolute paths
+        else:
+            path = os.path.join(self.directory, name)
         if not os.path.isdir(path):
             raise FileNotFoundError(path)
         template = {
