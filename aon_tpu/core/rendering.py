@@ -52,10 +52,14 @@ def volumetric_rendering(
     )
     dists = dists * jnp.linalg.norm(dirs[..., None, :], axis=-1)
     alpha = 1.0 - jnp.exp(-density[..., 0] * dists)
+    # max() blocks XLA from constant-folding (1.0 + eps) -> 1.0 and
+    # reassociating `1 - alpha + eps` into `1 - alpha`, which would make the
+    # cumprod factor exactly 0 at opaque samples (the reference's torch
+    # evaluation keeps the strict left-to-right >= eps floor, helper.py:170)
     accum_prod = jnp.concatenate(
         [
             jnp.ones_like(alpha[..., :1]),
-            jnp.cumprod(1.0 - alpha[..., :-1] + eps, axis=-1),
+            jnp.cumprod(jnp.maximum(1.0 - alpha[..., :-1], 0.0) + eps, axis=-1),
         ],
         axis=-1,
     )
