@@ -83,18 +83,21 @@ def _level_kernel(
     s_real,
     white_bkgd,
     xv_ref,
-    tgt_ref,
     *refs,
 ):
-    """refs = [enc consts] + [26 weights] + [26 grad accums, per_sample_out,
-    per_ray_out]."""
+    """refs = [enc consts] + [26 weights] + [26 grad accums, per_sample_out].
+
+    All per-ray inputs (target) and outputs (err^2) ride the per-SAMPLE
+    streams: Mosaic's lane-divisibility rule (block lane dim % 128) forbids
+    narrow (8, R) per-ray blocks, so the target is broadcast onto sample
+    rows by the caller and the squared error is written to each segment's
+    row 0."""
     n_enc = len(_ENC_ORDER)
     n_w = len(_WEIGHT_ORDER)
     e = dict(zip(_ENC_ORDER, refs[:n_enc]))
     w = dict(zip(_WEIGHT_ORDER, refs[n_enc : n_enc + n_w]))
     gw = dict(zip(_WEIGHT_ORDER, refs[n_enc + n_w : n_enc + 2 * n_w]))
-    ps_out = refs[n_enc + 2 * n_w]  # (8, rows): row 0 = compositing weights
-    pr_out = refs[n_enc + 2 * n_w + 1]  # (8, R): [err2, comp_rgb x3, acc, 0..]
+    ps_out = refs[n_enc + 2 * n_w]  # (8, rows): [w, err2@seg0, ...]
     bf = jnp.bfloat16
 
     @pl.when(pl.program_id(0) == 0)
@@ -102,7 +105,7 @@ def _level_kernel(
         for name in _WEIGHT_ORDER:
             gw[name][...] = jnp.zeros_like(gw[name])
 
-    xv = jnp.transpose(xv_ref[...])  # (rows, 8): x,y,z,t, vx,vy,vz,0
+    xv = jnp.transpose(xv_ref[...])  # (rows, 16): x,y,z,t, vx,vy,vz,0, tr,tg,tb,0,...
     rows = xv.shape[0]
     R = rays_per_tile
 
@@ -160,16 +163,16 @@ def _level_kernel(
     if white_bkgd:
         comp = comp + (1.0 - acc)
 
-    tgt = jnp.transpose(tgt_ref[...])[:, :3]  # (R, 3)
+    tgt_rows = xv[:, 8:11]  # target broadcast per sample row
     # zero out batch-padding rays so they contribute no loss/gradient
-    ray_global = pl.program_id(0) * R + jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
-    ray_valid = (ray_global < n_rays_total).astype(jnp.float32)
-    err = (comp - tgt) * ray_valid
+    row_global = pl.program_id(0) * rows + jax.lax.broadcasted_iota(
+        jnp.int32, (rows, 1), 0
+    )
+    ray_valid_rows = (row_global // s_pad < n_rays_total).astype(jnp.float32)
+    err_rows = (bcast(comp) - tgt_rows) * ray_valid_rows  # (rows, 3)
     # loss = mean over (n_rays_total, 3) of err^2  ->  dL/dcomp = 2 err / (B*3)
-    dcomp = err * (2.0 / (n_rays_total * 3.0))  # (R, 3)
-
     # ---- compositing backward ----
-    dcomp_rows = bcast(dcomp)  # (rows, 3)
+    dcomp_rows = err_rows * (2.0 / (n_rays_total * 3.0))  # (rows, 3)
     d_rgb = wgt * dcomp_rows
     # G = dL/dw_s = <dcomp, rgb_s> - white * <dcomp, 1>
     G = jnp.sum(dcomp_rows * rgb, axis=1, keepdims=True)
@@ -187,16 +190,13 @@ def _level_kernel(
 
     # ---- auxiliary outputs ----
     # row 0: compositing weights (consumed by the fine-level resample);
-    # rows 1-2: debug taps (g_sigma, d_alpha)
+    # row 1: per-ray squared error, written on each segment's first row
+    err2_rows = jnp.sum(err_rows * err_rows, axis=1, keepdims=True)
+    err2_seg0 = jnp.where(seg_idx == 0, err2_rows, 0.0)
     ps_out[...] = jnp.transpose(
         jnp.concatenate(
-            [wgt, g_sigma, d_alpha, jnp.zeros((rows, 5), jnp.float32)],
-            axis=1,
+            [wgt, err2_seg0, jnp.zeros((rows, 6), jnp.float32)], axis=1
         )
-    )
-    err2 = jnp.sum(err * err, axis=1, keepdims=True)  # (R, 1)
-    pr_out[...] = jnp.transpose(
-        jnp.concatenate([err2, comp, acc, jnp.zeros((R, 3), jnp.float32)], axis=1)
     )
 
 
@@ -262,15 +262,31 @@ def _bwd_from_acts(enc, venc, g_rgb, g_sigma, acts, w, gw):
     acc("b0", bias_grad(da))
 
 
-# RAYS_PER_TILE x S_pad rows per tile.  4 rays x 200-sample fine level =
-# 800 rows: live activations (~12 x 800 x 256 bf16 = 4.9 MB) + f32 weights
-# + f32 grad accumulators (~5 MB) fit the 16 MB VMEM budget.
-RAYS_PER_TILE = 4
+def _choose_tile(s_real: int, max_rows: int = 1024) -> Tuple[int, int]:
+    """(s_pad, rays_per_tile) minimizing pad waste.
+
+    Mosaic requires the (8, R*s_pad) block's lane dim divisible by 128, so
+    R = 128 / gcd(s_pad, 128); search nearby s_pad (multiples of 8) for the
+    least padding with R*s_pad <= max_rows (VMEM: live activations are
+    ~12 * rows * 256 bf16 + f32 weights/grad accumulators ~5 MB)."""
+    import math
+
+    base = _round_up(s_real, 8)
+    best = None
+    for s_pad in range(base, base + 72, 8):
+        r = 128 // math.gcd(s_pad, 128)
+        rows = r * s_pad
+        if rows > max_rows:
+            continue
+        if best is None or s_pad < best[0]:
+            best = (s_pad, r)
+    assert best is not None, s_real
+    return best
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("white_bkgd", "rays_per_tile"),
+    static_argnames=("white_bkgd", "max_tile_rows"),
 )
 def fused_level_train_grads(
     packed: Dict[str, jnp.ndarray],
@@ -281,7 +297,7 @@ def fused_level_train_grads(
     viewdirs: jnp.ndarray,  # (B, 3)
     target: jnp.ndarray,  # (B, 3)
     white_bkgd: bool,
-    rays_per_tile: int = RAYS_PER_TILE,
+    max_tile_rows: int = 1024,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
     """One training level, fully fused.
 
@@ -290,8 +306,7 @@ def fused_level_train_grads(
     (level loss = sq_err_sum / (B*3)) and grads are d(level loss)/d(packed).
     """
     B, S = t_vals.shape
-    s_pad = _round_up(S, 8)
-    R = rays_per_tile
+    s_pad, R = _choose_tile(S, max_tile_rows)
     b_pad = _round_up(B, R)
     rows = b_pad * s_pad
 
@@ -308,11 +323,11 @@ def fused_level_train_grads(
             t_p[..., None],
             jnp.broadcast_to(v_p[:, None, :], (b_pad, s_pad, 3)),
             jnp.zeros((b_pad, s_pad, 1), t_vals.dtype),
+            jnp.broadcast_to(tgt_p[:, None, :], (b_pad, s_pad, 3)),
+            jnp.zeros((b_pad, s_pad, 5), t_vals.dtype),
         ],
         axis=-1,
-    ).reshape(rows, 8).T  # (8, rows) transposed stream
-
-    tgt8 = jnp.pad(tgt_p, ((0, 0), (0, 5))).T  # (8, b_pad)
+    ).reshape(rows, 16).T  # (16, rows) transposed stream (incl. target rows)
 
     enc_args = [enc_consts[k] for k in _ENC_ORDER]
     weights = [packed[k] for k in _WEIGHT_ORDER]
@@ -322,13 +337,20 @@ def fused_level_train_grads(
     kernel = functools.partial(
         _level_kernel, B, R, s_pad, S, bool(white_bkgd)
     )
+    interpret = _interpret()
+    compiler_params = None
+    if not interpret:
+        # live activations + f32 weights + f32 grad accumulators exceed the
+        # conservative 16M default scoped-vmem budget (~18.4M at 640 rows);
+        # v5e has headroom above it
+        compiler_params = pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024)
     outs = pl.pallas_call(
         kernel,
-        interpret=_interpret(),
+        interpret=interpret,
+        compiler_params=compiler_params,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((8, tile_rows), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, R), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, tile_rows), lambda i: (0, i), memory_space=pltpu.VMEM),
             *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in enc_args],
             *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weights],
         ],
@@ -338,21 +360,18 @@ def fused_level_train_grads(
                 for k in _WEIGHT_ORDER
             ],
             pl.BlockSpec((8, tile_rows), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, R), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             *[jax.ShapeDtypeStruct(_SHAPES[k], jnp.float32) for k in _WEIGHT_ORDER],
             jax.ShapeDtypeStruct((8, rows), jnp.float32),
-            jax.ShapeDtypeStruct((8, b_pad), jnp.float32),
         ],
-    )(xv, tgt8, *enc_args, *weights)
+    )(xv, *enc_args, *weights)
 
     grads = dict(zip(_WEIGHT_ORDER, outs[: len(_WEIGHT_ORDER)]))
     per_sample = outs[len(_WEIGHT_ORDER)]  # (8, rows)
-    per_ray = outs[len(_WEIGHT_ORDER) + 1]  # (8, b_pad)
 
     wgt = per_sample[0].reshape(b_pad, s_pad)[:B, :S]
-    sq_err_sum = jnp.sum(per_ray[0, :B])
+    sq_err_sum = jnp.sum(per_sample[1])
     return sq_err_sum, wgt, grads
 
 

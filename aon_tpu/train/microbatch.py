@@ -38,6 +38,19 @@ def _inject_ray_ids(superbatch: Dict, m_global: int, offset) -> Dict:
     return dict(superbatch, ray_ids=jnp.broadcast_to(ids[None], (t_steps, k, m_local)))
 
 
+def _loss_aux_grads(loss_fn: Callable, params, batch: Dict, key: jax.Array):
+    """(loss, aux, grads) from either kind of loss function.
+
+    A plain loss_fn returns (loss, aux) and is differentiated here; a
+    gradient-producing step (``loss_fn.returns_grads = True``, e.g. the v3
+    fused level-train kernels that compute weight grads in-kernel) returns
+    (loss, aux, grads) directly."""
+    if getattr(loss_fn, "returns_grads", False):
+        return loss_fn(params, batch, key)
+    (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, batch, key)
+    return loss, aux, grads
+
+
 def accumulated_grads(loss_fn: Callable, params, batch: Dict, key: jax.Array):
     """Mean (loss, aux, grads) over stacked microbatches.
 
@@ -50,15 +63,13 @@ def accumulated_grads(loss_fn: Callable, params, batch: Dict, key: jax.Array):
 
     if next(iter(ray_parts.values())).ndim == batch["rays_o"].ndim == 2:
         # flat (unstacked) batch: single microbatch
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, batch, key)
-        return loss, aux, grads
+        return _loss_aux_grads(loss_fn, params, batch, key)
 
     k = next(iter(ray_parts.values())).shape[0]
 
     if k == 1:
         mb = dict(shared, **{n: v[0] for n, v in ray_parts.items()})
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, mb, key)
-        return loss, aux, grads
+        return _loss_aux_grads(loss_fn, params, mb, key)
 
     keys = jax.random.split(key, k)
 
@@ -66,13 +77,15 @@ def accumulated_grads(loss_fn: Callable, params, batch: Dict, key: jax.Array):
         grads_acc, loss_acc, aux_acc = carry
         mb_key, mb_rays = xs
         mb = dict(shared, **mb_rays)
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, mb, mb_key)
+        loss, aux, grads = _loss_aux_grads(loss_fn, params, mb, mb_key)
         grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
         return (grads_acc, loss_acc + loss, jax.tree.map(jnp.add, aux_acc, aux)), None
 
     zero_grads = jax.tree.map(jnp.zeros_like, params)
     mb0 = dict(shared, **{n: v[0] for n, v in ray_parts.items()})
-    _, aux_proto = jax.eval_shape(loss_fn, params, mb0, keys[0])
+    aux_proto = jax.eval_shape(
+        lambda p, b, kk: _loss_aux_grads(loss_fn, p, b, kk), params, mb0, keys[0]
+    )[1]
     zero_aux = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), aux_proto)
 
     (grads, loss, aux), _ = jax.lax.scan(

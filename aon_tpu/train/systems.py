@@ -137,7 +137,19 @@ class VanillaSystem:
         # inside shard_map (pallas calls don't auto-partition under jit).
         n_dev = self.mesh.devices.size if self.mesh is not None else 1
         use_fused = cfg.use_pallas and jax.default_backend() == "tpu"
-        if use_fused:
+        if use_fused and cfg.fused_train == "v3" and cfg.noise_std == 0:
+            # v3: one kernel per level (fwd + compositing + loss + bwd);
+            # computes weight grads in-kernel — no value_and_grad wrapper
+            from aon_tpu.ops.train_fused_level import make_fused_step_fn
+
+            loss_fn = make_fused_step_fn(
+                near, far, white_bkgd,
+                num_coarse=cfg.N_samples, num_fine=cfg.N_importance,
+                max_deg=cfg.N_emb_xyz, deg_view=cfg.N_emb_dir,
+                lindisp=cfg.lindisp,
+            )
+            loss_fn.returns_grads = True
+        elif use_fused:
             from aon_tpu.ops.train_pallas import make_fused_loss_fn
 
             loss_fn = make_fused_loss_fn(

@@ -93,6 +93,10 @@ class Config:
     num_devices: int = 0  # 0 = all available
     compute_dtype: str = "bfloat16"  # bfloat16 | float32
     use_pallas: bool = True
+    # vanilla fused train kernel generation: "v3" = one kernel per level
+    # (fwd + compositing + loss + bwd, ops/train_fused_level.py; requires
+    # noise_std == 0), "v2" = separate fwd/bwd kernels + XLA compositing
+    fused_train: str = "v3"
     seed: int = 0
 
     # debugging / profiling (SURVEY §5)
