@@ -233,6 +233,21 @@ def _art_bwd_kernel(xv_ref, g_ref, *refs):
         for name in _EFF_ORDER:
             ge[name][...] = jnp.zeros_like(ge[name])
 
+    xv = jnp.transpose(xv_ref[...])  # (T, 8)
+    xyz4 = xv[:, :4]
+    g = jnp.transpose(g_ref[...])  # (T, 4)
+    g_rgb, g_sigma = g[:, :3], g[:, 3:4]
+
+    acts = _art_forward(xyz4, xv[:, 4:], e, enc_c, bf)
+    _art_bwd_from_acts(xyz4, g_rgb, g_sigma, acts, e, ge, enc_c)
+
+
+def _art_bwd_from_acts(xyz4, g_rgb, g_sigma, acts, e, ge, enc_c):
+    """Grad accumulation into ``ge`` refs given LIVE activations (shared by
+    the v2 bwd kernel, which rematerializes them, and the v3 fused level
+    kernel, which keeps them from its own forward)."""
+    bf = jnp.bfloat16
+
     def dot_tn(a, b):
         return jax.lax.dot_general(
             a.astype(bf), b.astype(bf), (((0,), (0,)), ((), ())),
@@ -244,13 +259,6 @@ def _art_bwd_kernel(xv_ref, g_ref, *refs):
             a.astype(bf), b.astype(bf), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-
-    xv = jnp.transpose(xv_ref[...])  # (T, 8)
-    xyz4 = xv[:, :4]
-    g = jnp.transpose(g_ref[...])  # (T, 4)
-    g_rgb, g_sigma = g[:, :3], g[:, 3:4]
-
-    acts = _art_forward(xyz4, xv[:, 4:], e, enc_c, bf)
 
     def acc(name, val):
         ge[name][...] += val

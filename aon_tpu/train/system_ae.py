@@ -141,7 +141,7 @@ class AutoEncoderSystem:
             self.mesh is not None and self.mesh.devices.size > 1
         )
 
-        def loss_fn(params, batch, key):
+        def flax_or_v2_loss_fn(params, batch, key):
             src = batch["src_imgs"]
             if src.ndim == 3:
                 src = src[None]
@@ -182,6 +182,22 @@ class AutoEncoderSystem:
                 "loss_state": loss_state,
                 "opacity_loss": opacity,
             }
+
+        if use_fused and cfg.fused_train == "v3" and cfg.noise_std == 0:
+            # v3: one kernel per level (fwd + compositing + masked MSE +
+            # opacity BCE + bwd with live activations), encoder grads via vjp
+            from aon_tpu.ops.train_fused_level_art import make_fused_ae_step_fn
+
+            def encode_fn(enc_params, src, deg):
+                return self._encode(enc_params, src, deg)
+
+            loss_fn = make_fused_ae_step_fn(
+                encode_fn, near, far, white_bkgd,
+                num_coarse=cfg.N_samples, num_fine=cfg.N_importance,
+                opacity_lambda=OPACITY_LAMBDA, lindisp=cfg.lindisp,
+            )
+        else:
+            loss_fn = flax_or_v2_loss_fn
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, batch, key):

@@ -306,7 +306,19 @@ class AutoDecoderSystem:
 
         n_dev = self.mesh.devices.size if self.mesh is not None else 1
         use_fused = cfg.use_pallas and jax.default_backend() == "tpu"
-        if use_fused:
+        if use_fused and cfg.fused_train == "v3" and cfg.noise_std == 0:
+            # v3: one kernel per level (fwd + compositing + loss + bwd with
+            # live activations); grads computed in-kernel
+            from aon_tpu.ops.train_fused_level_art import (
+                make_fused_autodecoder_step_fn,
+            )
+
+            loss_fn = make_fused_autodecoder_step_fn(
+                lib.apply, near, far, white_bkgd,
+                num_coarse=cfg.N_samples, num_fine=cfg.N_importance,
+                lindisp=cfg.lindisp,
+            )
+        elif use_fused:
             from aon_tpu.ops.train_art_pallas import make_fused_autodecoder_loss_fn
 
             loss_fn = make_fused_autodecoder_loss_fn(

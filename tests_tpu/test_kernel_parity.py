@@ -223,3 +223,146 @@ def test_resample_kernel_matches_xla():
     )
     np.testing.assert_allclose(got, want, atol=1e-5)
     assert (np.diff(got, axis=-1) >= -1e-6).all()
+
+
+def test_v3_fused_level_kernel_matches_flax():
+    """v3 vanilla level-train kernel (fwd + compositing + loss + bwd in one
+    pass) compiled by Mosaic vs flax fp32 value_and_grad."""
+    from aon_tpu.core import sampling
+    from aon_tpu.core.rendering import volumetric_rendering
+    from aon_tpu.ops.fused_mlp import make_posenc_constants
+    from aon_tpu.ops.fused_mlp_train import (
+        pack_vanilla_mlp_params_f32,
+        unpack_vanilla_mlp_grads,
+    )
+    from aon_tpu.ops.train_fused_level import fused_level_train_grads
+
+    key = jax.random.PRNGKey(0)
+    g = np.random.default_rng(0)
+    B, S = 64, 65
+    d = g.normal(size=(B, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays_o = jnp.asarray(-4.0 * d)
+    rays_d = jnp.asarray(d)
+    viewdirs = jnp.asarray(d)
+    target = jnp.asarray(g.uniform(size=(B, 3)).astype(np.float32))
+    t_vals = jnp.asarray(
+        np.sort(g.uniform(2.0, 6.0, size=(B, S)), axis=-1).astype(np.float32)
+    )
+    mlp = NeRFMLP()
+    enc = sampling.pos_enc(sampling.cast_rays(t_vals, rays_o, rays_d), 0, 10)
+    venc = sampling.pos_enc(viewdirs, 0, 4)
+    params = mlp.init(key, enc, venc)["params"]
+
+    def flax_loss(p):
+        rgb, sigma = mlp.apply({"params": p}, enc, venc)
+        comp, _, w, _ = volumetric_rendering(
+            jax.nn.sigmoid(rgb), jax.nn.relu(sigma), t_vals, rays_d, white_bkgd=True
+        )
+        return jnp.mean((comp - target) ** 2), w
+
+    (l_ref, w_ref), g_ref = jax.value_and_grad(flax_loss, has_aux=True)(params)
+
+    packed = pack_vanilla_mlp_params_f32(params)
+    err_sum, w_got, g_packed = fused_level_train_grads(
+        packed, make_posenc_constants(), t_vals, rays_o, rays_d, viewdirs,
+        target, True,
+    )
+    np.testing.assert_allclose(float(err_sum / (B * 3.0)), float(l_ref), rtol=5e-2)
+    np.testing.assert_allclose(np.asarray(w_got), np.asarray(w_ref), atol=3e-2)
+    g_got = unpack_vanilla_mlp_grads(g_packed)
+    for path, a in jax.tree_util.tree_flatten_with_path(g_ref)[0]:
+        b = g_got
+        for k in path:
+            b = b[k.key]
+        a, b = np.asarray(a).ravel(), np.asarray(b).ravel()
+        denom = np.linalg.norm(a) * np.linalg.norm(b)
+        if denom < 1e-12:
+            continue
+        assert float(a @ b / denom) > 0.97, path
+
+
+def test_v3_fused_art_level_kernel_matches_flax():
+    """v3 articulated level-train kernel (deformation + trunk + compositing
+    + masked loss + opacity BCE + bwd) compiled by Mosaic vs flax fp32."""
+    from aon_tpu.core import sampling
+    from aon_tpu.core.rendering import volumetric_rendering
+    from aon_tpu.ops.fused_art import _unfold_grads, fold_latents
+    from aon_tpu.ops.fused_mlp import make_posenc_constants
+    from aon_tpu.ops.train_fused_level_art import fused_level_train_art_grads
+
+    key = jax.random.PRNGKey(0)
+    g = np.random.default_rng(0)
+    B, S = 32, 65
+    d = g.normal(size=(B, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays_o = jnp.asarray(-4.0 * d)
+    rays_d = jnp.asarray(d)
+    viewdirs = jnp.asarray(d)
+    target = jnp.asarray(g.uniform(size=(B, 3)).astype(np.float32))
+    t_vals = jnp.asarray(
+        np.sort(g.uniform(2.0, 6.0, size=(B, S)), axis=-1).astype(np.float32)
+    )
+    latents = {
+        "density": jnp.asarray(g.normal(size=(1, 128)).astype(np.float32)) * 0.1,
+        "color": jnp.asarray(g.normal(size=(1, 128)).astype(np.float32)) * 0.1,
+        "articulation": jnp.asarray(g.normal(size=(1, 32)).astype(np.float32)) * 0.1,
+    }
+    mlp = ArticulatedNeRFMLP()
+    samples = sampling.cast_rays(t_vals, rays_o, rays_d)
+    venc = pos_enc(viewdirs, 0, 4)
+    params = dict(mlp.init(key, samples, venc, latents)["params"])
+    # zero deformation for exact comparability (see tests/test_fused_art.py)
+    params["deform_out"] = {
+        "kernel": jnp.zeros_like(params["deform_out"]["kernel"]),
+        "bias": jnp.zeros_like(params["deform_out"]["bias"]),
+    }
+    mask = jnp.asarray((g.uniform(size=(B,)) > 0.4).astype(np.float32))
+    denom = jnp.maximum(3.0 * jnp.sum(mask), 1.0)
+    lw = mask / denom
+
+    def bce(logits, targets):
+        return jnp.mean(
+            jnp.maximum(logits, 0)
+            - logits * targets
+            + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+        )
+
+    def flax_loss(p, lat):
+        rgb, sigma = mlp.apply({"params": p}, samples, venc, lat)
+        comp, acc, w, _ = volumetric_rendering(
+            jax.nn.sigmoid(rgb), jax.nn.relu(sigma), t_vals, rays_d,
+            white_bkgd=False,
+        )
+        return jnp.sum(lw[:, None] * (comp - target) ** 2) + 0.05 * bce(acc, mask), w
+
+    (l_ref, w_ref), (gp_ref, gl_ref) = jax.value_and_grad(
+        flax_loss, argnums=(0, 1), has_aux=True
+    )(params, latents)
+
+    packed = fold_latents(params, latents)
+    photo, w_got, acc_got, g_eff = fused_level_train_art_grads(
+        packed, make_posenc_constants(), t_vals, rays_o, rays_d, viewdirs,
+        target, lw, mask, False, rgb_padding=0.0, density_bias=0.0,
+        bce_weight=0.05, sigma_act="relu",
+    )
+    l_got = photo + 0.05 * bce(acc_got, mask)
+    np.testing.assert_allclose(float(l_got), float(l_ref), rtol=5e-2, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(w_got), np.asarray(w_ref), atol=3e-2)
+
+    gp_got, gl_got = _unfold_grads(g_eff, params, latents)
+
+    def flat(t):
+        return np.concatenate([np.asarray(x).ravel() for x in jax.tree.leaves(t)])
+
+    for name in gp_ref:
+        a, b = flat(gp_ref[name]), flat(gp_got[name])
+        denom2 = np.linalg.norm(a) * np.linalg.norm(b)
+        if denom2 < 1e-12:
+            continue
+        assert float(a @ b / denom2) > 0.95, name
+    for k in gl_ref:
+        a, b = flat(gl_ref[k]), flat(gl_got[k])
+        if np.linalg.norm(a) < 1e-10 and np.linalg.norm(b) < 1e-10:
+            continue
+        assert float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-14)) > 0.95, k
