@@ -263,25 +263,30 @@ def _bwd_from_acts(enc, venc, g_rgb, g_sigma, acts, w, gw):
 
 
 def _choose_tile(s_real: int, max_rows: int = 1024) -> Tuple[int, int]:
-    """(s_pad, rays_per_tile) minimizing pad waste.
+    """(s_pad, rays_per_tile) minimizing pad waste, then maximizing tile.
 
     Mosaic requires the (8, R*s_pad) block's lane dim divisible by 128, so
-    R = 128 / gcd(s_pad, 128); search nearby s_pad (multiples of 8) for the
-    least padding with R*s_pad <= max_rows (VMEM: live activations are
-    ~12 * rows * 256 bf16 + f32 weights/grad accumulators ~5 MB)."""
+    R must be a multiple of 128 / gcd(s_pad, 128).  Pad waste multiplies
+    every FLOP, so minimize s_pad - s_real FIRST; among equal-waste
+    candidates take the LARGEST R*s_pad <= max_rows — small tiles (e.g. the
+    minimal 2x64=128 rows at S=64) leave the MXU short and burn grid-step
+    overhead (measured: 4096-ray coarse level = 2048 steps).  VMEM: live
+    activations are ~rows * (2.5 KB vanilla / 3.5 KB articulated) bf16 +
+    f32 weights/grad accumulators (see vmem_limit_bytes at the call site)."""
     import math
 
     base = _round_up(s_real, 8)
-    best = None
+    best = None  # (waste, -rows, s_pad, r)
     for s_pad in range(base, base + 72, 8):
-        r = 128 // math.gcd(s_pad, 128)
-        rows = r * s_pad
-        if rows > max_rows:
+        r_min = 128 // math.gcd(s_pad, 128)
+        if r_min * s_pad > max_rows:
             continue
-        if best is None or s_pad < best[0]:
-            best = (s_pad, r)
+        r = (max_rows // s_pad) // r_min * r_min
+        cand = (s_pad - s_real, -r * s_pad, s_pad, r)
+        if best is None or cand < best:
+            best = cand
     assert best is not None, s_real
-    return best
+    return best[2], best[3]
 
 
 @functools.partial(
@@ -342,8 +347,9 @@ def fused_level_train_grads(
     if not interpret:
         # live activations + f32 weights + f32 grad accumulators exceed the
         # conservative 16M default scoped-vmem budget (~18.4M at 640 rows);
-        # v5e has headroom above it
-        compiler_params = pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024)
+        # v5e has 128M — scale the request with the tile
+        mb = 32 if tile_rows <= 1024 else 64
+        compiler_params = pltpu.CompilerParams(vmem_limit_bytes=mb * 1024 * 1024)
     outs = pl.pallas_call(
         kernel,
         interpret=interpret,
@@ -413,9 +419,13 @@ def make_fused_step_fn(
             k0, rays_o, rays_d, num_coarse, near, far,
             randomized=True, lindisp=lindisp, ray_ids=ray_ids,
         )
+        # coarse level (S=65): a 2048-row budget picks (s_pad=72, R=16) —
+        # half the pad waste of (80, 8) and measured +13% on v5e
+        # (scripts/bench_level_tiles.py); the fine level and the articulated
+        # kernels measure FASTER at the 1024 default (VMEM pressure).
         err0, wgt, g_c = fused_level_train_grads(
             packed_c, enc_consts, t_vals, rays_o, rays_d, viewdirs, target,
-            white_bkgd,
+            white_bkgd, max_tile_rows=2048,
         )
 
         t_mids = 0.5 * (t_vals[..., 1:] + t_vals[..., :-1])

@@ -273,8 +273,10 @@ def fused_level_train_art_grads(
     compiler_params = None
     if not interpret:
         # live articulated activations + f32 eff weights + grad accumulators
-        # exceed the conservative 16M default scoped-vmem budget
-        compiler_params = pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024)
+        # exceed the conservative 16M default scoped-vmem budget; scale with
+        # the tile (v5e has 128M)
+        mb = 48 if tile_rows <= 1024 else 80
+        compiler_params = pltpu.CompilerParams(vmem_limit_bytes=mb * 1024 * 1024)
     outs = pl.pallas_call(
         kernel,
         interpret=interpret,
