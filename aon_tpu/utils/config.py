@@ -47,6 +47,10 @@ class Config:
     N_importance: int = 128
     N_emb_xyz: int = 10
     N_emb_dir: int = 4
+    # reference opt.py:39 advertises --noise_std default 1.0 but LitNeRF
+    # builds NeRF() with the constructor default 0.0 (model.py:218) — the
+    # flag is dormant upstream, so 0.0 IS the reference behavior (and the
+    # v3 fused train path requires it; nonzero falls back to v2).
     noise_std: float = 0.0
     use_disp: bool = False  # lindisp
 
