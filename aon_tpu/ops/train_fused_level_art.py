@@ -157,13 +157,21 @@ def _art_level_kernel(
     # photometric: L_photo = sum_r lw_r |err_r|^2  ->  dL/dcomp = 2 lw err
     dcomp_rows = 2.0 * lw_rows * err_rows
     d_rgb = wgt * dcomp_rows
+    # Per-sample-VARYING G through the suffix scan; per-ray-CONSTANT G
+    # (white background -<dcomp,1>, opacity-BCE d_acc) through the
+    # telescoped closed form  Gc * T_total / u  — the scan formulation
+    # cancels two O(1) terms to a tiny residual and loses ~7 digits,
+    # which measurably broke the AE's background convergence (see
+    # ops/train_fused_level.py for the derivation).
     G = jnp.sum(dcomp_rows * rgb, axis=1, keepdims=True)
+    P = _seg_scan_excl_suffix_sum(wgt * G, seg_idx, s_pad)
+    d_alpha = T * G - P / u
+    Gc = None
     if white_bkgd:
-        G = G - jnp.sum(dcomp_rows, axis=1, keepdims=True)
+        Gc = -jnp.sum(dcomp_rows, axis=1, keepdims=True)
     if bce_weight != 0.0:
         # opacity BCE-with-logits(acc, mask), mean over rays, weight bce_w:
-        # d/dacc = bce_w * (sigmoid(acc) - m) / B; acc = sum_s w_s so it
-        # lands directly on G = dL/dw_s.
+        # d/dacc = bce_w * (sigmoid(acc) - m) / B; acc = sum_s w_s.
         m_rows = xv[:, 12:13]
         acc_rows = bcast(acc_ray)
         d_acc = (
@@ -171,9 +179,10 @@ def _art_level_kernel(
             * (bce_weight / n_rays_total)
             * ray_valid_rows
         )
-        G = G + d_acc
-    P = _seg_scan_excl_suffix_sum(wgt * G, seg_idx, s_pad)
-    d_alpha = T * G - P / u
+        Gc = d_acc if Gc is None else Gc + d_acc
+    if Gc is not None:
+        T_total = bcast(seg_sum(jnp.where(last, T * u, 0.0)))
+        d_alpha = d_alpha + Gc * T_total / u
     d_sigma = jnp.where(real, d_alpha * dist * (1.0 - alpha), 0.0)
 
     # head VJPs
