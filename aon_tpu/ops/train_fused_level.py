@@ -174,19 +174,17 @@ def _level_kernel(
     # ---- compositing backward ----
     dcomp_rows = err_rows * (2.0 / (n_rays_total * 3.0))  # (rows, 3)
     d_rgb = wgt * dcomp_rows
-    # G_s = dL/dw_s splits into a per-sample-VARYING part (<dcomp, rgb_s>)
-    # and a per-ray-CONSTANT part Gc (white background: -<dcomp, 1>).  For
-    # the constant part the generic backward  T_s*Gc - (sum_{j>s} w_j Gc)/u_s
-    # telescopes analytically to  Gc * T_total / u_s  (T_total = full-ray
-    # transmittance): computing it via the suffix scan instead loses ~7
-    # digits to cancellation of two O(1) terms — use the closed form.
+    # G = dL/dw_s = <dcomp, rgb_s> - white * <dcomp, 1>.  The white term is
+    # per-ray constant, for which the suffix scan cancels two O(1) terms
+    # (analytically Gc*T_total/u) — benign HERE because the photometric
+    # part varies per sample and dominates (validated by parity tests and
+    # quality runs), but a loss DOMINATED by constant-G terms must use the
+    # closed form: see the opacity BCE in train_fused_level_art.py.
     G = jnp.sum(dcomp_rows * rgb, axis=1, keepdims=True)
+    if white_bkgd:
+        G = G - jnp.sum(dcomp_rows, axis=1, keepdims=True)
     P = _seg_scan_excl_suffix_sum(wgt * G, seg_idx, s_pad)  # sum_{j>s} w_j G_j
     d_alpha = T * G - P / u
-    if white_bkgd:
-        Gc = -jnp.sum(dcomp_rows, axis=1, keepdims=True)
-        T_total = bcast(seg_sum(jnp.where(last, T * u, 0.0)))
-        d_alpha = d_alpha + Gc * T_total / u
     d_sigma = jnp.where(real, d_alpha * dist * (1.0 - alpha), 0.0)
 
     g_rgb = (d_rgb * rgb * (1.0 - rgb)).astype(jnp.float32)  # sigmoid'

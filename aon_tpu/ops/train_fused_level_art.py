@@ -16,10 +16,10 @@ The in-kernel loss is generalized to cover BOTH articulated systems:
   is sum_r lw_r * |comp_r - target_r|^2.  The auto-decoder's plain MSE
   (model_autodecoder.py:450-455) is lw = 1/(B*3); the auto-encoder's
   instance-masked MSE (model_ae_art.py:380-387) is lw = mask_r / denom.
-* optional opacity BCE-with-logits on acc vs mask (model_ae_art.py:389-393,
-  the AE's 0.05 * BCE(acc, mask)): d_acc = bce_w * (sigmoid(acc) - m) / B
-  feeds the compositing backward in-kernel; the BCE *value* is computed
-  outside from the per-ray acc output.
+* optional opacity BCE-with-logits on acc vs mask (model_ae_art.py:646-663,
+  the AE's 0.5 * BCE(acc, mask) per level): d_acc = bce_w * (sigmoid(acc)
+  - m) / B feeds the compositing backward in-kernel; the BCE *value* is
+  computed outside from the per-ray acc output.
 
 Latent gradients fall out of the effective-bias gradients exactly as in
 the v2 path (ops/fused_art._unfold_grads).
@@ -157,18 +157,18 @@ def _art_level_kernel(
     # photometric: L_photo = sum_r lw_r |err_r|^2  ->  dL/dcomp = 2 lw err
     dcomp_rows = 2.0 * lw_rows * err_rows
     d_rgb = wgt * dcomp_rows
-    # Per-sample-VARYING G through the suffix scan; per-ray-CONSTANT G
-    # (white background -<dcomp,1>, opacity-BCE d_acc) through the
-    # telescoped closed form  Gc * T_total / u  — the scan formulation
-    # cancels two O(1) terms to a tiny residual and loses ~7 digits,
-    # which measurably broke the AE's background convergence (see
-    # ops/train_fused_level.py for the derivation).
+    # Per-sample-VARYING G (photometric, and the white term whose constant
+    # part is dominated by it) through the suffix scan; the opacity BCE's
+    # d_acc — a loss DOMINATED by a per-ray-constant dL/dw — through the
+    # telescoped closed form  d_acc * T_total / u: the scan formulation
+    # cancels two O(1) terms to the tiny residual Gc*T_total/u and the
+    # lost digits matter exactly when acc saturates (T_total -> 0), the
+    # regime the BCE must escape.
     G = jnp.sum(dcomp_rows * rgb, axis=1, keepdims=True)
+    if white_bkgd:
+        G = G - jnp.sum(dcomp_rows, axis=1, keepdims=True)
     P = _seg_scan_excl_suffix_sum(wgt * G, seg_idx, s_pad)
     d_alpha = T * G - P / u
-    Gc = None
-    if white_bkgd:
-        Gc = -jnp.sum(dcomp_rows, axis=1, keepdims=True)
     if bce_weight != 0.0:
         # opacity BCE-with-logits(acc, mask), mean over rays, weight bce_w:
         # d/dacc = bce_w * (sigmoid(acc) - m) / B; acc = sum_s w_s.
@@ -179,10 +179,8 @@ def _art_level_kernel(
             * (bce_weight / n_rays_total)
             * ray_valid_rows
         )
-        Gc = d_acc if Gc is None else Gc + d_acc
-    if Gc is not None:
         T_total = bcast(seg_sum(jnp.where(last, T * u, 0.0)))
-        d_alpha = d_alpha + Gc * T_total / u
+        d_alpha = d_alpha + d_acc * T_total / u
     d_sigma = jnp.where(real, d_alpha * dist * (1.0 - alpha), 0.0)
 
     # head VJPs
@@ -415,7 +413,7 @@ def make_fused_ae_step_fn(
     white_bkgd: bool,
     num_coarse: int = 64,
     num_fine: int = 128,
-    opacity_lambda: float = 0.05,
+    opacity_lambda: float = 0.5,
     lindisp: bool = False,
 ):
     """v3 auto-encoder step: ``fn(params, batch, key) -> (loss, aux, grads)``.

@@ -9,9 +9,13 @@ Contract from reference ``models/vanilla_nerf/model_ae_art.py:209-418``:
 * the NeRF conditions on a degree-indexed embedding (``nn.Embedding(91, 32)``
   of round(rad2deg(deg)), :367-369) — ``embed_deg=True``;
 * photometric MSE is masked to instance pixels (:380-387);
-* opacity loss: 0.05 * BCEWithLogits(acc, mask) summed over both levels
-  (:397-408, 719-736 — note the reference feeds acc, already in [0,1],
-  as "logits"; reproduced faithfully);
+* opacity loss: 0.5 * [BCEWithLogits(acc0, mask) + BCEWithLogits(acc1,
+  mask)] — lambda 0.5 is hard-coded INSIDE ``opacity_loss_CE``
+  (:646-663), not the 0.05 a reader might infer elsewhere; the reference
+  feeds acc, already in [0,1], as "logits" (reproduced faithfully).
+  Getting this 10x wrong leaves the scene trapped in object-colored fog:
+  once acc saturates everywhere, d(acc)/d(alpha) = T_total/u ~ 0 and a
+  weak opacity term can never clear it;
 * activations: plain ReLU sigma, un-padded sigmoid rgb (:232-233, 289-292).
 
 Reference bug NOT reproduced: model_ae_art.py:294 unpacks 3 of 4 values
@@ -34,7 +38,7 @@ from aon_tpu.train.microbatch import accumulated_grads
 from aon_tpu.train.systems import TrainState, _dtype, _rays_of, make_optimizer
 from aon_tpu.utils.config import Config
 
-OPACITY_LAMBDA = 0.05
+OPACITY_LAMBDA = 0.5  # hard-coded inside reference opacity_loss_CE (:647)
 N_DEG_EMBEDDINGS = 91  # 0..90 inclusive (model_ae_art.py:240)
 
 
