@@ -20,7 +20,9 @@ Contract from reference ``models/vanilla_nerf/model_ae_art.py:209-418``:
 
 Reference bug NOT reproduced: model_ae_art.py:294 unpacks 3 of 4 values
 from volumetric_rendering and would crash at runtime; we keep correct
-plumbing.
+plumbing.  Reference quirk noted: the deg-embedding latent key is the
+consistent typo ``artifuclaiton_deg`` upstream (written :369,:503 and
+read :154), so it functions; we spell it ``articulation_deg``.
 """
 
 from __future__ import annotations
