@@ -428,6 +428,10 @@ def make_fused_step_fn(
         # half the pad waste of (80, 8) and measured +13% on v5e
         # (scripts/bench_level_tiles.py); the fine level and the articulated
         # kernels measure FASTER at the 1024 default (VMEM pressure).
+        # v5e ASSUMPTION: the 2048-row tile requests a 64 MB vmem budget
+        # (fused_level_train_grads), fine on v5e's 128 MB VMEM; on parts
+        # with 64 MB (v4 and older) drop max_tile_rows to 1024 and re-run
+        # scripts/bench_level_tiles.py.
         err0, wgt, g_c = fused_level_train_grads(
             packed_c, enc_consts, t_vals, rays_o, rays_d, viewdirs, target,
             white_bkgd, max_tile_rows=2048,

@@ -424,6 +424,17 @@ def make_fused_ae_step_fn(
     gradients flow from the in-kernel latent cotangents.  Loss contract:
     model_ae_art.py:380-408 — instance-masked MSE + joint-state MSE +
     opacity BCE on both levels (relu sigma, un-padded sigmoid rgb).
+
+    Microbatching approximation: the masked-MSE denominator (3*sum(mask))
+    and the BCE 1/B normalization are computed PER MICROBATCH; under
+    ``accumulated_grads`` with k>1 the result is the mean of per-microbatch
+    masked means, which differs from the reference's whole-batch masked
+    mean when mask counts vary across microbatches.  The production AE
+    config runs k=1 (4096-ray batches == microbatch_rays*2 at 2048... i.e.
+    k=2 only if microbatch_rays < ray_batch_size); with the default
+    microbatch_rays=2048 and 4096-ray batches, k=2 — the approximation is
+    a second-order batch-composition effect, measured indistinguishable in
+    the laptop AE quality run (results/laptop_ae_ref).
     """
     from aon_tpu.core import sampling
     from aon_tpu.ops.fused_mlp import make_posenc_constants

@@ -14,7 +14,10 @@ Loss/metric contracts:
   vanilla      (model.py:256-282):       MSE(coarse) + MSE(fine)
   autodecoder  (model_autodecoder.py:395-477): + 1e-4 * latent-norm reg
   ae_art       (model_ae_art.py:355-418): masked MSE + joint-state MSE
-                                           + 0.05 * BCE opacity (both levels)
+                                           + 0.5 * BCE opacity (both levels;
+                                           the 0.5 is hard-coded upstream in
+                                           opacity_loss_CE, model_ae_art.py:647
+                                           — NOT the 0.05 w_opacity flag)
 """
 
 from __future__ import annotations

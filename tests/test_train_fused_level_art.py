@@ -24,7 +24,7 @@ DENSITY_BIAS = -1.0
 BCE_W = 0.05
 
 
-@pytest.fixture(scope="module", params=["white", "black", "bce"])
+@pytest.fixture(scope="module", params=["white", "black", "bce", "bce_white"])
 def setup(request):
     mode = request.param
     key = jax.random.PRNGKey(0)
@@ -52,13 +52,15 @@ def setup(request):
         "kernel": jnp.zeros_like(params["deform_out"]["kernel"]),
         "bias": jnp.zeros_like(params["deform_out"]["bias"]),
     }
-    if mode == "bce":
+    if mode.startswith("bce"):
         # the AE configuration: instance-masked MSE + opacity BCE,
-        # relu sigma, un-padded sigmoid rgb (model_ae_art.py:232-233,380-408)
+        # relu sigma, un-padded sigmoid rgb (model_ae_art.py:232-233,380-408).
+        # "bce_white" exercises the BCE + white-background combination (the
+        # closed-form d_acc path composed with the white constant-G term).
         mask = jnp.asarray((g.uniform(size=(B,)) > 0.4).astype(np.float32))
         denom = jnp.maximum(3.0 * jnp.sum(mask), 1.0)
         loss_w = mask / denom
-        white, bce_w = False, BCE_W
+        white, bce_w = mode == "bce_white", BCE_W
         rgb_pad, sigma_act = 0.0, "relu"
     else:
         mask = jnp.zeros((B,))
