@@ -67,9 +67,19 @@ def sample_along_rays(
     ``coords: (B, num_samples + 1, 3)``. When ``randomized`` is True, each of
     the N+1 points is jittered uniformly within its midpoint-bounded bin
     (reference helper.py:122-127).
+
+    ``near`` / ``far`` may be scalars (the reference's global 2/6 contract)
+    or per-ray ``(B,)`` arrays (AABB-tightened intervals, data/aabb.py) —
+    per-ray values broadcast into per-ray sample ladders.
     """
     bsz = rays_o.shape[0]
     dtype = rays_o.dtype
+    near = jnp.asarray(near, dtype=dtype)
+    far = jnp.asarray(far, dtype=dtype)
+    if near.ndim >= 1:
+        near = near.reshape(-1, 1)
+    if far.ndim >= 1:
+        far = far.reshape(-1, 1)
     t_vals = jnp.linspace(0.0, 1.0, num_samples + 1, dtype=dtype)
     if lindisp:
         t_vals = 1.0 / (1.0 / near * (1.0 - t_vals) + 1.0 / far * t_vals)

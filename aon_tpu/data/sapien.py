@@ -58,12 +58,25 @@ class SapienDataset:
         model_type: Optional[str] = None,
         white_back: Optional[bool] = None,
         eval_inference: Optional[str] = None,
+        use_aabb: bool = False,
+        aabb_pad: float = 0.05,
     ):
         self.root_dir = root_dir
         self.split = split
         self.img_wh = tuple(img_wh)
         self.white_back = white_back
         self.near, self.far = NEAR, FAR
+
+        # AABB interval tightening (data/aabb.py): bounds always come from
+        # the TRAIN split's depth maps so train/val/test agree on where the
+        # model is defined.  None when depth data is absent (feature off).
+        self.scene_bounds = None
+        if use_aabb:
+            from aon_tpu.data.aabb import scene_aabb
+
+            self.scene_bounds = scene_aabb(
+                [os.path.join(root_dir, "train")], tuple(img_wh), pad=aabb_pad
+            )
 
         w, h = self.img_wh
         split_dir = {"train": "train", "val": "val"}.get(split, "test")
@@ -97,7 +110,7 @@ class SapienDataset:
 
     def _build_train_buffers(self) -> None:
         w, h = self.img_wh
-        all_rays_o, all_viewdirs, all_rgbs = [], [], []
+        all_rays_o, all_viewdirs, all_rgbs, all_alpha = [], [], [], []
         self.poses = []
         for img_file in self.img_files:
             pose = np.array(self.meta["frames"][img_file.split(".")[0]], dtype=np.float32)
@@ -111,9 +124,39 @@ class SapienDataset:
             all_rays_o.append(rays_o)
             all_viewdirs.append(viewdirs)
             all_rgbs.append(rgb.reshape(-1, 3).astype(np.float32))
+            if self.scene_bounds is not None:
+                all_alpha.append(rgba[..., 3].reshape(-1))
         self.all_rays_o = np.concatenate(all_rays_o, 0)
         self.all_viewdirs = np.concatenate(all_viewdirs, 0)
         self.all_rgbs = np.concatenate(all_rgbs, 0)
+
+        if self.scene_bounds is not None:
+            # Keep only rays whose slab interval hits the scene AABB: the
+            # model is empty outside, so missed rays render exactly the
+            # background with zero loss/gradient — pure waste to train on.
+            from aon_tpu.data.aabb import ray_intervals
+
+            hit, tn, tf = ray_intervals(
+                self.scene_bounds, self.all_rays_o, self.all_viewdirs
+            )
+            alpha = np.concatenate(all_alpha, 0)
+            dropped_fg = float(((alpha > 0) & ~hit).sum()) / max(
+                1, int((alpha > 0).sum())
+            )
+            self.aabb_dropped_fg_frac = dropped_fg
+            if dropped_fg > 1e-3:
+                import warnings
+
+                warnings.warn(
+                    f"scene AABB drops {dropped_fg:.2%} of foreground rays — "
+                    "increase aabb_pad"
+                )
+            self.all_rays_o = self.all_rays_o[hit]
+            self.all_viewdirs = self.all_viewdirs[hit]
+            self.all_rgbs = self.all_rgbs[hit]
+            self.all_tnear = tn[hit]
+            self.all_tfar = tf[hit]
+            self.hit_fraction = float(hit.mean())
 
     def __len__(self) -> int:
         if self.split == "train":
@@ -136,17 +179,22 @@ class SapienDataset:
 
         g = np.random.default_rng(seed)
         n = len(self.all_rays_o)
+        tight = self.scene_bounds is not None
         while True:
             idx = g.integers(0, n, size=batch_size)
             rays_o, viewdirs, rgbs = native.ray_batch_gather(
                 self.all_rays_o, self.all_viewdirs, self.all_rgbs, idx
             )
-            yield {
+            batch = {
                 "rays_o": rays_o,
                 "rays_d": viewdirs,  # normalized (parity contract)
                 "viewdirs": viewdirs,
                 "target": rgbs,
             }
+            if tight:
+                batch["t_near"] = self.all_tnear[idx]
+                batch["t_far"] = self.all_tfar[idx]
+            yield batch
 
     def steps_per_epoch(self, batch_size: int) -> int:
         return max(1, len(self.all_rays_o) // batch_size)
@@ -164,7 +212,7 @@ class SapienDataset:
         rays_o, viewdirs, rays_d, radii = get_rays(
             self.directions, c2w, output_view_dirs=True, output_radii=True
         )
-        return {
+        frame = {
             "rays_o": rays_o,
             "rays_d": viewdirs,
             "viewdirs": viewdirs,
@@ -172,3 +220,9 @@ class SapienDataset:
             "target": rgb.astype(np.float32),
             "img_wh": np.array([w, h]),
         }
+        if self.scene_bounds is not None:
+            from aon_tpu.data.aabb import ray_intervals
+
+            hit, tn, tf = ray_intervals(self.scene_bounds, rays_o, viewdirs)
+            frame.update(hit=hit, t_near=tn, t_far=tf)
+        return frame

@@ -50,6 +50,8 @@ class SapienDatasetMulti:
         eval_inference: Optional[str] = None,
         samples_per_epoch: int = 4000,
         ray_batch_size: int = 4096,
+        use_aabb: bool = False,
+        aabb_pad: float = 0.05,
     ):
         self.root_dir = root_dir
         self.split = split
@@ -60,6 +62,18 @@ class SapienDatasetMulti:
         self.ray_batch_size = ray_batch_size
 
         self.ids = np.sort([f.name for f in os.scandir(root_dir) if f.is_dir()])
+
+        # AABB interval tightening (data/aabb.py): one box bounding ALL
+        # instances at ALL train articulations, from the datagen depth maps.
+        self.scene_bounds = None
+        if use_aabb:
+            from aon_tpu.data.aabb import scene_aabb
+
+            deg_dirs = []
+            for inst in self.ids:
+                base = os.path.join(root_dir, inst, "train")
+                deg_dirs += [f.path for f in os.scandir(base) if f.is_dir()]
+            self.scene_bounds = scene_aabb(sorted(deg_dirs), tuple(img_wh), pad=aabb_pad)
         # decoded-frame cache: training revisits (instance, degree, image)
         # tuples constantly and PNG decode + ray gen dominate host time
         self._frame_cache = {}
@@ -129,9 +143,14 @@ class SapienDatasetMulti:
         rays_o, viewdirs, rays_d, _ = get_rays(
             directions, c2w, output_view_dirs=True, output_radii=True
         )
-        return rays_o, viewdirs, rays_d, img, seg
+        aabb = None
+        if self.scene_bounds is not None:
+            from aon_tpu.data.aabb import ray_intervals
 
-    def _to_sample(self, rays_o, viewdirs, rays_d, img, seg, pix_inds=None):
+            aabb = ray_intervals(self.scene_bounds, rays_o, viewdirs)
+        return rays_o, viewdirs, rays_d, img, seg, aabb
+
+    def _to_sample(self, rays_o, viewdirs, rays_d, img, seg, pix_inds=None, aabb=None):
         h, w = img.shape[:2]
         rgbs = np.asarray(img, dtype=np.float32).reshape(-1, 3) / 255.0
         mask = seg.reshape(-1, 1).astype(np.float32)
@@ -143,7 +162,7 @@ class SapienDatasetMulti:
             viewdirs = viewdirs[pix_inds]
             rgbs = rgbs[pix_inds]
             mask = mask[pix_inds]
-        return {
+        sample = {
             "rays_o": rays_o,
             "rays_d": rays_d,
             "viewdirs": viewdirs,
@@ -151,6 +170,14 @@ class SapienDatasetMulti:
             "target": rgbs,
             "instance_mask": mask,
         }
+        if aabb is not None:
+            hit, tn, tf = aabb
+            if pix_inds is not None:
+                sample["t_near"] = tn[pix_inds]
+                sample["t_far"] = tf[pix_inds]
+            else:
+                sample.update(hit=hit, t_near=tn, t_far=tf)
+        return sample
 
     # ----- item generators -----
 
@@ -171,11 +198,17 @@ class SapienDatasetMulti:
             deg_paths = self._degree_dirs(instance_dir)
             deg_idx = int(g.integers(0, len(deg_paths)))
             image_id = int(g.integers(0, 59))
-            rays_o, viewdirs, rays_d, img, seg = self._read_frame_cached(
+            rays_o, viewdirs, rays_d, img, seg, aabb = self._read_frame_cached(
                 instance_dir, deg_paths[deg_idx], image_id
             )
-            pix_inds = g.integers(0, h * w, size=self.ray_batch_size)
-            sample = self._to_sample(rays_o, viewdirs, rays_d, img, seg, pix_inds)
+            if aabb is not None:
+                # AABB path: rays missing the box are exactly background with
+                # zero loss/grad — draw (with replacement) from hit rays only
+                hit_idx = np.flatnonzero(aabb[0])
+                pix_inds = hit_idx[g.integers(0, len(hit_idx), size=self.ray_batch_size)]
+            else:
+                pix_inds = g.integers(0, h * w, size=self.ray_batch_size)
+            sample = self._to_sample(rays_o, viewdirs, rays_d, img, seg, pix_inds, aabb)
             sample["deg"] = np.float32(np.deg2rad(IDX_TO_DEG["train"][deg_idx]))
             sample["instance_id"] = np.int32(train_idx)
             sample["articulation_id"] = np.int32(deg_idx)
@@ -188,10 +221,10 @@ class SapienDatasetMulti:
         deg_paths = self._degree_dirs(instance_dir)
         deg_idx = int(g.integers(0, len(deg_paths)))
         image_id = int(g.integers(0, 59))
-        rays_o, viewdirs, rays_d, img, seg = self._read_frame(
+        rays_o, viewdirs, rays_d, img, seg, aabb = self._read_frame(
             instance_dir, deg_paths[deg_idx], image_id
         )
-        sample = self._to_sample(rays_o, viewdirs, rays_d, img, seg)
+        sample = self._to_sample(rays_o, viewdirs, rays_d, img, seg, aabb=aabb)
         sample["deg"] = np.float32(np.deg2rad(IDX_TO_DEG["train"][deg_idx]))
         sample["instance_id"] = np.int32(val_idx)
         sample["articulation_id"] = np.int32(deg_idx)
@@ -204,10 +237,10 @@ class SapienDatasetMulti:
         g = np.random.default_rng(seed)
         val_idx = int(g.integers(0, len(self.ids)))
         instance_dir = self.ids[val_idx]
-        rays_o, viewdirs, rays_d, img, seg = self._read_frame(
+        rays_o, viewdirs, rays_d, img, seg, aabb = self._read_frame(
             instance_dir, "0_degree", idx, c2w_override=self.poses_test[idx]
         )
-        sample = self._to_sample(rays_o, viewdirs, rays_d, img, seg)
+        sample = self._to_sample(rays_o, viewdirs, rays_d, img, seg, aabb=aabb)
         sample["instance_id"] = np.int32(val_idx)
         sample["articulation_id"] = np.int32(idx)
         # articulation angle swept 0..90 deg over the 19 frames (5 deg/frame),

@@ -65,7 +65,8 @@ def make_fused_render_fn(
         packed_f = pack_vanilla_mlp_params(params["fine_mlp"])
 
         t_vals, samples = sampling.sample_along_rays(
-            None, rays["rays_o"], rays["rays_d"], num_coarse, near, far,
+            None, rays["rays_o"], rays["rays_d"], num_coarse,
+            rays.get("t_near", near), rays.get("t_far", far),
             randomized=False, lindisp=lindisp,
         )
         _, _, weights, _ = _level(
@@ -83,12 +84,20 @@ def make_fused_render_fn(
         return {"comp_rgb": comp_rgb, "acc": acc, "depth": depth}
 
     if mesh is not None and mesh.devices.size > 1:
-        rays_spec = {"rays_o": P("data"), "rays_d": P("data"), "viewdirs": P("data")}
         out_spec = {"comp_rgb": P("data"), "acc": P("data"), "depth": P("data")}
-        fn = shard_map(
-            local_render, mesh=mesh, in_specs=(P(), rays_spec), out_specs=out_spec,
-            check_vma=False,
-        )
-    else:
-        fn = local_render
-    return jax.jit(fn)
+        _cache = {}
+
+        def fn(params, rays):
+            # rays may carry t_near/t_far (AABB path): one shard_map+jit per
+            # key-set (specs are static per closure)
+            ks = tuple(sorted(rays))
+            if ks not in _cache:
+                rays_spec = {k: P("data") for k in ks}
+                _cache[ks] = jax.jit(shard_map(
+                    local_render, mesh=mesh, in_specs=(P(), rays_spec),
+                    out_specs=out_spec, check_vma=False,
+                ))
+            return _cache[ks](params, rays)
+
+        return fn
+    return jax.jit(local_render)

@@ -69,7 +69,8 @@ def fused_two_level_train(
         return volumetric_rendering(rgb, sigma, t_vals, rays["rays_d"], white_bkgd=white_bkgd)
 
     t_vals, samples = sampling.sample_along_rays(
-        k0, rays["rays_o"], rays["rays_d"], num_coarse, near, far,
+        k0, rays["rays_o"], rays["rays_d"], num_coarse,
+        batch.get("t_near", near), batch.get("t_far", far),
         randomized=True, lindisp=lindisp, ray_ids=ray_ids,
     )
     comp0, acc0, weights, _ = level(model_params["coarse_mlp"], t_vals, samples)
@@ -120,7 +121,8 @@ def make_fused_autodecoder_loss_fn(
         k0, k2 = jax.random.split(key)
 
         t_vals, samples = sampling.sample_along_rays(
-            k0, rays["rays_o"], rays["rays_d"], num_coarse, near, far,
+            k0, rays["rays_o"], rays["rays_d"], num_coarse,
+            batch.get("t_near", near), batch.get("t_far", far),
             randomized=True, lindisp=lindisp, ray_ids=ray_ids,
         )
         comp0, _, weights, _ = level(params["model"]["coarse_mlp"], latents, rays, t_vals, samples)
@@ -184,7 +186,8 @@ def make_fused_art_render_fn(
 
     def local_render(params, rays, latents):
         t_vals, samples = sampling.sample_along_rays(
-            None, rays["rays_o"], rays["rays_d"], num_coarse, near, far,
+            None, rays["rays_o"], rays["rays_d"], num_coarse,
+            rays.get("t_near", near), rays.get("t_far", far),
             randomized=False, lindisp=lindisp,
         )
         _, _, weights, _ = level(params["model"]["coarse_mlp"], latents, rays, t_vals, samples)
@@ -199,12 +202,20 @@ def make_fused_art_render_fn(
         return {"comp_rgb": comp_rgb, "acc": acc, "depth": depth}
 
     if mesh is not None and mesh.devices.size > 1:
-        rays_spec = {"rays_o": P("data"), "rays_d": P("data"), "viewdirs": P("data")}
         out_spec = {"comp_rgb": P("data"), "acc": P("data"), "depth": P("data")}
-        inner = shard_map(
-            local_render, mesh=mesh, in_specs=(P(), rays_spec, P()),
-            out_specs=out_spec, check_vma=False,
-        )
+        _cache = {}
+
+        def inner(params, rays, latents):
+            # rays may or may not carry t_near/t_far (AABB path): build the
+            # shard_map per key-set (specs are static per closure)
+            ks = tuple(sorted(rays))
+            if ks not in _cache:
+                rays_spec = {k: P("data") for k in ks}
+                _cache[ks] = shard_map(
+                    local_render, mesh=mesh, in_specs=(P(), rays_spec, P()),
+                    out_specs=out_spec, check_vma=False,
+                )
+            return _cache[ks](params, rays, latents)
     else:
         inner = local_render
 

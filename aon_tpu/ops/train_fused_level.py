@@ -420,8 +420,11 @@ def make_fused_step_fn(
         packed_c = pack_vanilla_mlp_params_f32(params["coarse_mlp"])
         packed_f = pack_vanilla_mlp_params_f32(params["fine_mlp"])
 
+        # AABB-tightened per-ray intervals when the batch carries them
+        near_r = batch.get("t_near", near)
+        far_r = batch.get("t_far", far)
         t_vals, _ = sampling.sample_along_rays(
-            k0, rays_o, rays_d, num_coarse, near, far,
+            k0, rays_o, rays_d, num_coarse, near_r, far_r,
             randomized=True, lindisp=lindisp, ray_ids=ray_ids,
         )
         # coarse level (S=65): a 2048-row budget picks (s_pad=72, R=16) —

@@ -380,7 +380,8 @@ def make_fused_autodecoder_step_fn(
             return photo, wgt, dp, d_lat
 
         t_vals, _ = sampling.sample_along_rays(
-            k0, rays_o, rays_d, num_coarse, near, far,
+            k0, rays_o, rays_d, num_coarse,
+            batch.get("t_near", near), batch.get("t_far", far),
             randomized=True, lindisp=lindisp, ray_ids=ray_ids,
         )
         loss0, wgt, dp_c, d_lat_c = level(params["model"]["coarse_mlp"], t_vals)
@@ -484,7 +485,8 @@ def make_fused_ae_step_fn(
             return photo, wgt, acc, dp, d_lat
 
         t_vals, _ = sampling.sample_along_rays(
-            k0, rays_o, rays_d, num_coarse, near, far,
+            k0, rays_o, rays_d, num_coarse,
+            batch.get("t_near", near), batch.get("t_far", far),
             randomized=True, lindisp=lindisp, ray_ids=ray_ids,
         )
         loss0, wgt, acc0, dp_c, d_lat_c = level(params["model"]["coarse_mlp"], t_vals)

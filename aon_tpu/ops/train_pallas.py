@@ -70,7 +70,8 @@ def make_fused_loss_fn(
         packed_f = params["fine_mlp"]
 
         t_vals, samples = sampling.sample_along_rays(
-            k0, rays["rays_o"], rays["rays_d"], num_coarse, near, far,
+            k0, rays["rays_o"], rays["rays_d"], num_coarse,
+            batch.get("t_near", near), batch.get("t_far", far),
             randomized=randomized, lindisp=lindisp, ray_ids=ray_ids,
         )
         comp0, acc0, weights, _ = _level_train(

@@ -23,7 +23,10 @@ import jax
 import jax.numpy as jnp
 
 # batch entries carrying a per-ray leading axis (everything else is shared)
-RAY_KEYS = ("rays_o", "rays_d", "viewdirs", "target", "instance_mask", "radii", "ray_ids")
+RAY_KEYS = (
+    "rays_o", "rays_d", "viewdirs", "target", "instance_mask", "radii",
+    "ray_ids", "t_near", "t_far",
+)
 
 
 def _inject_ray_ids(superbatch: Dict, m_global: int, offset) -> Dict:

@@ -165,7 +165,7 @@ class AutoEncoderSystem:
             else:
                 out = model.apply(
                     {"params": params["model"]}, _rays_of(batch), latents, key, True,
-                    white_bkgd, near, far,
+                    white_bkgd, batch.get("t_near", near), batch.get("t_far", far),
                 )
             mask = batch["instance_mask"].reshape(-1, 1)  # (B, 1) float
             mask3 = jnp.broadcast_to(mask, batch["target"].shape)
@@ -260,7 +260,8 @@ class AutoEncoderSystem:
                     )
 
                 t_vals, samples = sampling.sample_along_rays(
-                    None, rays["rays_o"], rays["rays_d"], cfg.N_samples, near, far,
+                    None, rays["rays_o"], rays["rays_d"], cfg.N_samples,
+                    rays.get("t_near", near), rays.get("t_far", far),
                     randomized=False, lindisp=cfg.lindisp,
                 )
                 _, _, weights, _ = level(params["model"]["coarse_mlp"], t_vals, samples)
@@ -274,8 +275,8 @@ class AutoEncoderSystem:
                 )
             else:
                 out = model.apply(
-                    {"params": params["model"]}, rays, latents, None, False,
-                    white_bkgd, near, far,
+                    {"params": params["model"]}, _rays_of(rays), latents, None, False,
+                    white_bkgd, rays.get("t_near", near), rays.get("t_far", far),
                 )
                 comp_rgb, acc, depth = out[1]
             return {

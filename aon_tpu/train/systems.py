@@ -130,7 +130,10 @@ class VanillaSystem:
         cfg = self.cfg
 
         def flax_loss_fn(params, batch, key):
-            out = model.apply({"params": params}, _rays_of(batch), key, True, white_bkgd, near, far)
+            out = model.apply(
+                {"params": params}, _rays_of(batch), key, True, white_bkgd,
+                batch.get("t_near", near), batch.get("t_far", far),
+            )
             loss0 = img2mse(out[0][0], batch["target"])
             loss1 = img2mse(out[1][0], batch["target"])
             loss = loss0 + loss1
@@ -198,7 +201,10 @@ class VanillaSystem:
 
         @jax.jit
         def render_chunk(params, rays):
-            out = model.apply({"params": params}, rays, None, False, white_bkgd, near, far)
+            out = model.apply(
+                {"params": params}, _rays_of(rays), None, False, white_bkgd,
+                rays.get("t_near", near), rays.get("t_far", far),
+            )
             comp_rgb, acc, depth = out[1]
             return {"comp_rgb": comp_rgb, "acc": acc, "depth": depth}
 
@@ -292,7 +298,7 @@ class AutoDecoderSystem:
             )
             out = model.apply(
                 {"params": params["model"]}, _rays_of(batch), latents, key, True,
-                white_bkgd, near, far,
+                white_bkgd, batch.get("t_near", near), batch.get("t_far", far),
             )
             loss0 = img2mse(out[0][0], batch["target"])
             loss1 = img2mse(out[1][0], batch["target"])
@@ -373,7 +379,8 @@ class AutoDecoderSystem:
                 is_test=is_test,
             )
             out = model.apply(
-                {"params": params["model"]}, rays, latents, None, False, white_bkgd, near, far
+                {"params": params["model"]}, _rays_of(rays), latents, None, False,
+                white_bkgd, rays.get("t_near", near), rays.get("t_far", far),
             )
             comp_rgb, acc, depth = out[1]
             return {"comp_rgb": comp_rgb, "acc": acc, "depth": depth}

@@ -45,7 +45,10 @@ class Trainer:
         self.result_dir.mkdir(parents=True, exist_ok=True)
 
         ds_cls = dataset_dict[cfg.dataset_name]
-        common = dict(root_dir=cfg.root_dir, img_wh=tuple(cfg.img_wh), white_back=cfg.white_back)
+        common = dict(
+            root_dir=cfg.root_dir, img_wh=tuple(cfg.img_wh), white_back=cfg.white_back,
+            use_aabb=cfg.use_aabb, aabb_pad=cfg.aabb_pad,
+        )
         if cfg.dataset_name == "sapien_multi":
             common.update(
                 samples_per_epoch=cfg.samples_per_epoch, ray_batch_size=cfg.ray_batch_size
@@ -232,7 +235,14 @@ class Trainer:
             # resample kernel (ops/resample_pallas.py) which compiles and
             # runs at 61440 rays/chunk
             chunk = min(chunk, 61440)
-        return render_frame(chunk_fn, frame, self.mesh, chunk, **extra)
+        miss_fill = None
+        if "hit" in frame:
+            # AABB path: rays missing the box ARE the background — skip them
+            bg = 1.0 if self.cfg.white_back else 0.0
+            miss_fill = {"comp_rgb": bg, "acc": 0.0, "depth": 0.0}
+        return render_frame(
+            chunk_fn, frame, self.mesh, chunk, miss_fill=miss_fill, **extra
+        )
 
     def validate(self, epoch: int) -> float:
         psnrs, psnrs_obj = [], []

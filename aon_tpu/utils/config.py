@@ -53,6 +53,13 @@ class Config:
     # v3 fused train path requires it; nonzero falls back to v2).
     noise_std: float = 0.0
     use_disp: bool = False  # lindisp
+    # Scene-AABB interval tightening (data/aabb.py): bound the scene from the
+    # train split's depth maps, sample each ray only inside its AABB slab
+    # interval, skip rays that miss the box entirely (train AND eval).  The
+    # model is empty outside the box by construction, so quality is equal at
+    # far fewer samples — the TPU-first fast path with no reference analogue.
+    use_aabb: bool = False
+    aabb_pad: float = 0.05
 
     # latent codes (articulated)
     N_max_objs: int = 151
@@ -129,7 +136,10 @@ class Config:
         return dataclasses.asdict(self)
 
 
-_BOOL_FIELDS = {"white_back", "run_eval", "use_disp", "use_pallas", "finetune_lpips", "debug_nans"}
+_BOOL_FIELDS = {
+    "white_back", "run_eval", "use_disp", "use_pallas", "finetune_lpips",
+    "debug_nans", "use_aabb",
+}
 
 
 def _build_parser() -> argparse.ArgumentParser:

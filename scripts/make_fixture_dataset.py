@@ -51,7 +51,11 @@ def render_analytic(c2w, w, h, deg=0.0):
     rgb[hit & top] = [0.9, 0.2, 0.15]
     rgb[hit & ~top] = [0.15, 0.3, 0.9]
     alpha = hit.astype(np.float32)
-    return rgb.reshape(h, w, 3), alpha.reshape(h, w)
+    # camera-frame -z of the hit point (datagen depth convention,
+    # data_utils.py:61-64): fwd = -c2w_z
+    fwd = -c2w[:3, 2]
+    z_depth = np.where(hit, (pts - c2w[:3, 3]) @ fwd, 0.0)
+    return rgb.reshape(h, w, 3), alpha.reshape(h, w), z_depth.reshape(h, w)
 
 
 def random_sphere_pose(g, radius=4.0):
@@ -75,18 +79,23 @@ def random_sphere_pose(g, radius=4.0):
 
 def write_split(split_dir: Path, n, w, h, g, deg=0.0, with_seg=False):
     (split_dir / "rgb").mkdir(parents=True, exist_ok=True)
+    (split_dir / "depth").mkdir(parents=True, exist_ok=True)
     if with_seg:
         (split_dir / "seg").mkdir(parents=True, exist_ok=True)
     frames = {}
     for i in range(n):
         c2w = random_sphere_pose(g)
-        rgb, alpha = render_analytic(c2w, w, h, deg)
+        rgb, alpha, z_depth = render_analytic(c2w, w, h, deg)
         rgba = np.concatenate(
             [(rgb * 255).astype(np.uint8), (alpha[..., None] * 255).astype(np.uint8)],
             axis=-1,
         )
         name = f"r_{i}"
         Image.fromarray(rgba, "RGBA").save(split_dir / "rgb" / f"{name}.png")
+        # uint16 depth = -z_cam * 1000 (datagen/data_utils.py:61-64)
+        Image.fromarray(
+            np.clip(z_depth * 1000.0, 0, 65535).astype(np.uint16), "I;16"
+        ).save(split_dir / "depth" / f"{name}.png")
         if with_seg:
             Image.fromarray((alpha * 255).astype(np.uint8), "L").save(
                 split_dir / "seg" / f"{name}.png"
