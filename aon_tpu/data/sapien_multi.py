@@ -118,8 +118,14 @@ class SapienDatasetMulti:
             self._frame_cache[key] = frame
         return frame
 
-    def _read_frame(self, instance_id: str, degree_dir: str, image_id: int, c2w_override=None):
-        base = os.path.join(self.root_dir, instance_id, "train", degree_dir)
+    def _read_frame(
+        self, instance_id: str, degree_dir: Optional[str], image_id: int,
+        c2w_override=None, split_dir: str = "train",
+    ):
+        if degree_dir is None:
+            base = os.path.join(self.root_dir, instance_id, split_dir)
+        else:
+            base = os.path.join(self.root_dir, instance_id, split_dir, degree_dir)
         files = os.listdir(os.path.join(base, "rgb"))
         order = np.argsort([int(f.split("_")[1].split(".")[0]) for f in files])
         files = [files[i] for i in order]
@@ -232,14 +238,28 @@ class SapienDatasetMulti:
         return sample
 
     def test_frame(self, idx: int, seed: int = 0) -> Dict[str, np.ndarray]:
-        """Spheric-pose frame over the 0_degree data; articulation_id = idx
-        indexes the interpolated latent table (reference :438-479)."""
+        """Spheric-pose frame; articulation_id = idx indexes the
+        interpolated latent table (reference :438-479).
+
+        GT source: when datagen wrote a ``test_spheric`` split (frame i
+        rendered AT poses_test[i] with the joint at 5*i degrees), its image
+        is the ground truth and the sweep's PSNR is meaningful.  Otherwise
+        fall back to the reference's quirk — GT from the train 0_degree
+        images at UNRELATED poses (the true-pose line is commented out
+        upstream, sapien_multi.py:333) — kept for surface parity but
+        pose-mismatched by construction."""
         g = np.random.default_rng(seed)
         val_idx = int(g.integers(0, len(self.ids)))
         instance_dir = self.ids[val_idx]
-        rays_o, viewdirs, rays_d, img, seg, aabb = self._read_frame(
-            instance_dir, "0_degree", idx, c2w_override=self.poses_test[idx]
-        )
+        ts_dir = os.path.join(self.root_dir, instance_dir, "test_spheric")
+        if os.path.isdir(ts_dir):
+            rays_o, viewdirs, rays_d, img, seg, aabb = self._read_frame(
+                instance_dir, None, idx, split_dir="test_spheric"
+            )
+        else:
+            rays_o, viewdirs, rays_d, img, seg, aabb = self._read_frame(
+                instance_dir, "0_degree", idx, c2w_override=self.poses_test[idx]
+            )
         sample = self._to_sample(rays_o, viewdirs, rays_d, img, seg, aabb=aabb)
         sample["instance_id"] = np.int32(val_idx)
         sample["articulation_id"] = np.int32(idx)

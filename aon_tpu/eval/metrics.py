@@ -80,11 +80,25 @@ def ssim(pred: np.ndarray, gt: np.ndarray) -> float:
     return float(_ssim_jit(pred, gt))
 
 
+_warned_lpips = False
+
+
 def lpips(pred: np.ndarray, gt: np.ndarray) -> Optional[float]:
     from aon_tpu.eval.lpips import lpips_fn
 
     fn = lpips_fn()
     if fn is None:
+        global _warned_lpips
+        if not _warned_lpips:
+            _warned_lpips = True
+            import sys
+
+            print(
+                "WARNING: LPIPS reported as null — VGG weights not found "
+                "(weights/lpips_vgg.npz or $AON_LPIPS_WEIGHTS missing; see "
+                "weights/README.md for the one-step produce-and-verify recipe)",
+                file=sys.stderr,
+            )
         return None
     return float(fn(np.asarray(pred), np.asarray(gt)))
 

@@ -123,6 +123,29 @@ def render_with_sapien(cfg: Dict) -> None:
                            near=NEAR, far=FAR)
     focal = cam.fy if hasattr(cam, "fy") else focal_from_fovy(h)
 
+    def render_one(c2w):
+        cam.set_pose(sapien.Pose.from_transformation_matrix(c2w))
+        scene.step()
+        scene.update_render()
+        cam.take_picture()
+        rgba = (cam.get_float_texture("Color") * 255).astype(np.uint8)
+        seg = cam.get_uint32_texture("Segmentation")[..., 1]
+        position = cam.get_float_texture("Position")
+        return mask_rgba(rgba, seg > 0), seg, position
+
+    def write_frame(base, name, rgba, seg, position):
+        from PIL import Image
+
+        from datagen.data_utils import depth_to_uint16
+
+        Image.fromarray(rgba, "RGBA").save(os.path.join(base, "rgb", f"{name}.png"))
+        Image.fromarray((seg > 0).astype(np.uint8) * 255, "L").save(
+            os.path.join(base, "seg", f"{name}.png")
+        )
+        Image.fromarray(depth_to_uint16(position[..., 2]), "I;16").save(
+            os.path.join(base, "depth", f"{name}.png")
+        )
+
     for deg in joint_degrees:
         pose_deg = deg if deg is not None else cfg.get("qpos_deg")
         if pose_deg is not None and asset.dof > 0:
@@ -139,26 +162,9 @@ def render_with_sapien(cfg: Dict) -> None:
             os.makedirs(os.path.join(base, "depth"), exist_ok=True)
             frames = {}
             for i, c2w in enumerate(poses):
-                cam.set_pose(sapien.Pose.from_transformation_matrix(c2w))
-                scene.step()
-                scene.update_render()
-                cam.take_picture()
-                rgba = (cam.get_float_texture("Color") * 255).astype(np.uint8)
-                seg = cam.get_uint32_texture("Segmentation")[..., 1]
-                position = cam.get_float_texture("Position")
-                from datagen.data_utils import depth_to_uint16
-
-                from PIL import Image
-
-                rgba = mask_rgba(rgba, seg > 0)
+                rgba, seg, position = render_one(c2w)
                 name = f"r_{i}"
-                Image.fromarray(rgba, "RGBA").save(os.path.join(base, "rgb", f"{name}.png"))
-                Image.fromarray((seg > 0).astype(np.uint8) * 255, "L").save(
-                    os.path.join(base, "seg", f"{name}.png")
-                )
-                Image.fromarray(depth_to_uint16(position[..., 2]), "I;16").save(
-                    os.path.join(base, "depth", f"{name}.png")
-                )
+                write_frame(base, name, rgba, seg, position)
                 frames[name] = c2w
             if deg is None:
                 # single-scene loaders use the literal focal unrescaled
@@ -171,6 +177,49 @@ def render_with_sapien(cfg: Dict) -> None:
                     os.path.join(base, "transforms.json"), frames,
                     camera_angle_x=math.radians(FOVY_DEG),
                 )
+
+    # Ground-truthed articulation sweep ("test_spheric"): the reference's
+    # test split renders spheric poses with INTERPOLATED articulations but
+    # scores them against train-split 0_degree images at UNRELATED poses —
+    # the true-pose line is commented out upstream
+    # (/root/reference/datasets/sapien_multi.py:333), so its test PSNR is
+    # pose-mismatched by construction.  Here datagen can render the real
+    # thing: frame i at create_spheric_poses(radius=4)[i] with the joint at
+    # max_degree * i/(n-1) (5-degree steps for n=19), giving the sweep an
+    # honest GT.  Loaded by sapien_multi.test_frame when present.
+    ts = cfg.get("test_spheric")
+    if ts and asset.dof > 0:
+        from aon_tpu.core.rays import create_spheric_poses
+
+        n = int(ts.get("n_frames", 19))
+        max_deg = float(ts.get("max_degree", 90.0))
+        spheric = create_spheric_poses(radius=4.0)
+        base = os.path.join(cfg["output_dir"], "test_spheric")
+        for sub in ("rgb", "seg", "depth"):
+            os.makedirs(os.path.join(base, sub), exist_ok=True)
+        frames = {}
+        degs = {}
+        for i in range(n):
+            qpos = np.zeros(asset.dof)
+            deg_i = max_deg * i / max(1, n - 1)
+            qpos[0] = math.radians(deg_i)
+            asset.set_qpos(qpos)
+            c2w = spheric[i]
+            rgba, seg, position = render_one(c2w)
+            name = f"r_{i}"
+            write_frame(base, name, rgba, seg, position)
+            frames[name] = c2w
+            degs[name] = deg_i
+        write_transforms(
+            os.path.join(base, "transforms.json"), frames,
+            camera_angle_x=math.radians(FOVY_DEG),
+        )
+        # record the per-frame articulation next to the poses
+        with open(os.path.join(base, "transforms.json")) as fh:
+            meta = json.load(fh)
+        meta["joint_degrees"] = degs
+        with open(os.path.join(base, "transforms.json"), "w") as fh:
+            json.dump(meta, fh, indent=2)
     print(f"wrote dataset under {cfg['output_dir']}")
 
 

@@ -201,3 +201,53 @@ def test_render_loop_with_mocked_sapien(tmp_path, monkeypatch):
             depth = np.asarray(Image.open(base / "depth" / "r_0.png"))
             assert depth.dtype == np.int32 or depth.dtype == np.uint16
             assert int(depth[0, 0]) == 3250  # -z * 1000 mm
+
+
+def test_soft_backend_test_spheric_split_and_honest_gt(tmp_path):
+    """"test_spheric" datagen split: frame i rendered AT the spheric pose i
+    with the joint at max_degree*i/(n-1), plus per-frame joint_degrees in
+    transforms.json; SapienDatasetMulti.test_frame then scores the sweep
+    against this honest GT instead of the reference's pose-mismatched
+    train-0_degree images (reference sapien_multi.py:333, true-pose line
+    commented out upstream)."""
+    from aon_tpu.data import SapienDatasetMulti
+    from datagen.data_gen import render_with_sapien
+
+    root = tmp_path / "multi"
+    inst = root / "obj_0"
+    cfg = {
+        "urdf_file": str(REPO / "datagen/assets/laptop.urdf"),
+        "output_dir": str(inst),
+        "resolution": [32, 24],
+        "splits": {"train": 2},
+        "joint_degrees": [0, 90],
+        "backend": "soft",
+        "seed": 5,
+        "test_spheric": {"n_frames": 3, "max_degree": 90},
+    }
+    render_with_sapien(cfg)
+
+    meta = json.load(open(inst / "test_spheric" / "transforms.json"))
+    assert len(meta["frames"]) == 3
+    np.testing.assert_allclose(
+        [meta["joint_degrees"][f"r_{i}"] for i in range(3)], [0.0, 45.0, 90.0]
+    )
+
+    ds = SapienDatasetMulti(
+        str(root), split="test_val", img_wh=(32, 24), white_back=True,
+        eval_inference="render",
+    )
+    t = ds.test_frame(1)
+    # GT comes from the test_spheric image, not a train frame
+    from PIL import Image
+
+    img = np.asarray(Image.open(inst / "test_spheric" / "rgb" / "r_1.png").convert("RGB"))
+    seg = np.asarray(Image.open(inst / "test_spheric" / "seg" / "r_1.png")) > 0
+    expected = np.full_like(img, 255)
+    expected[seg] = img[seg]
+    np.testing.assert_allclose(
+        t["target"].reshape(24, 32, 3), expected.astype(np.float32) / 255.0, atol=1e-6
+    )
+    # rays follow the stored spheric pose
+    c2w = np.array(meta["frames"]["r_1"], dtype=np.float32)
+    np.testing.assert_allclose(t["rays_o"][0], c2w[:3, 3], atol=1e-5)

@@ -51,6 +51,60 @@ def test_lpips_gated_returns_none_without_weights(monkeypatch):
     L.lpips_fn.cache_clear()
 
 
+def _random_lpips_npz(path: str, seed: int = 0) -> None:
+    """Correctly-shaped random LPIPS weights (the converter's npz layout:
+    conv{i}_w HWIO, conv{i}_b, lin{i}_w (1,1,C,1))."""
+    from aon_tpu.eval.lpips import _TAPS, _VGG_CFG
+
+    g = np.random.default_rng(seed)
+    params = {}
+    cin, conv_idx, tap_channels = 3, 0, []
+    for item in _VGG_CFG:
+        if item == "M":
+            continue
+        params[f"conv{conv_idx}_w"] = g.normal(
+            0, 0.05, size=(3, 3, cin, item)
+        ).astype(np.float32)
+        params[f"conv{conv_idx}_b"] = np.zeros((item,), np.float32)
+        if conv_idx in _TAPS:
+            tap_channels.append(item)
+        cin = item
+        conv_idx += 1
+    for i, c in enumerate(tap_channels):
+        params[f"lin{i}_w"] = np.abs(g.normal(0, 0.1, size=(1, 1, c, 1))).astype(
+            np.float32
+        )
+    np.savez(path, **params)
+
+
+def test_lpips_pipeline_with_injected_weights(tmp_path, monkeypatch, rng):
+    """Drop a random-weight npz into place -> the eval pipeline must emit a
+    FINITE LPIPS (results.json plumbing included), so the day the real VGG
+    file appears nothing else is untested (weights/README.md)."""
+    import aon_tpu.eval.lpips as L
+
+    npz = tmp_path / "lpips_vgg.npz"
+    _random_lpips_npz(str(npz))
+    monkeypatch.setenv("AON_LPIPS_WEIGHTS", str(npz))
+    L.lpips_fn.cache_clear()
+    try:
+        a = rng.uniform(size=(32, 32, 3)).astype(np.float32)
+        b = rng.uniform(size=(32, 32, 3)).astype(np.float32)
+        d_ab = M.lpips(a, b)
+        d_aa = M.lpips(a, a)
+        assert d_ab is not None and np.isfinite(d_ab) and d_ab > 0
+        assert d_aa == pytest.approx(0.0, abs=1e-6)
+        # results.json plumbing: stats dict carries the finite value
+        stats = M.summarize("LPIPS", [d_ab, d_aa])
+        out = tmp_path / "results.json"
+        write_stats(str(out), M.summarize("PSNR", [30.0]), M.summarize("SSIM", [0.9]),
+                    stats, M.summarize("PSNR_obj", [20.0]))
+        data = json.loads(out.read_text())
+        assert np.isfinite(data["LPIPS"]["mean"])
+    finally:
+        L.lpips_fn.cache_clear()
+
+
 def test_summarize_skips_none_and_nan():
     s = M.summarize("PSNR", [10.0, None, float("nan"), 20.0])
     assert s["mean"] == pytest.approx(15.0)
