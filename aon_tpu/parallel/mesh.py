@@ -22,6 +22,26 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 
+# Batch entries with a leading per-ray axis (shardable over DATA_AXIS).
+# Everything else (deg, instance_id, src_imgs, ...) is replicated.  The
+# classification is BY KEY, not by shape: a shape heuristic misfiles e.g.
+# (1, 3, H, W) src_imgs on a 1-device mesh (1 % 1 == 0 looks "shardable").
+RAY_KEYS = (
+    "rays_o", "rays_d", "viewdirs", "target", "instance_mask", "radii",
+    "ray_ids", "t_near", "t_far", "hit",
+)
+
+
+def _is_ray_entry(k: str, v: np.ndarray, n_dev: int) -> bool:
+    if k not in RAY_KEYS:
+        return False
+    if v.ndim < 1 or v.shape[0] % n_dev != 0 or v.shape[0] < n_dev:
+        raise ValueError(
+            f"ray entry '{k}' has batch axis {v.shape} not shardable over "
+            f"{n_dev} devices"
+        )
+    return True
+
 
 def maybe_initialize_distributed() -> None:
     """Initialize multi-host JAX when launched under a cluster env.
@@ -85,8 +105,7 @@ def stack_step_batches(
     for k in batches[0]:
         vs = _np.stack([_np.asarray(b[k]) for b in batches])
         v0 = vs[0]
-        is_ray = v0.ndim >= 1 and v0.shape[0] % n_dev == 0 and v0.shape[0] >= n_dev
-        if is_ray:
+        if _is_ray_entry(k, v0, n_dev):
             n = v0.shape[0]
             m = min(microbatch or n, n)
             if n % m != 0:
@@ -118,7 +137,7 @@ def shard_ray_batch(
     out = {}
     for k, v in batch.items():
         v = np.asarray(v)
-        is_ray = v.ndim >= 1 and v.shape[0] % n_dev == 0 and v.shape[0] >= n_dev
+        is_ray = _is_ray_entry(k, v, n_dev)
         if is_ray and microbatch is not None:
             n = v.shape[0]
             m = min(microbatch, n)

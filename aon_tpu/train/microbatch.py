@@ -23,10 +23,7 @@ import jax
 import jax.numpy as jnp
 
 # batch entries carrying a per-ray leading axis (everything else is shared)
-RAY_KEYS = (
-    "rays_o", "rays_d", "viewdirs", "target", "instance_mask", "radii",
-    "ray_ids", "t_near", "t_far",
-)
+from aon_tpu.parallel.mesh import RAY_KEYS  # canonical per-ray key list
 
 
 def _inject_ray_ids(superbatch: Dict, m_global: int, offset) -> Dict:
