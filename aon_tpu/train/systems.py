@@ -90,6 +90,41 @@ def _rays_of(batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
     return {k: batch[k] for k in ("rays_o", "rays_d", "viewdirs")}
 
 
+def _with_art_smoothness(loss_fn, weight: float):
+    """Add ``weight * sum ||z_{i+1} - z_i||^2`` over the articulation table.
+
+    The reference's test-time sweep decodes MIDPOINT latents the training
+    objective never constrains (code_library.py:55-71); this term pulls
+    consecutive articulation codes toward a locally linear trajectory so
+    those midpoints decode to intermediate geometry.  Works with both
+    loss-fn conventions: the term depends only on ``params``, so for the
+    in-kernel-grad (v3) convention its gradient is added analytically.
+    """
+
+    def smooth(p):
+        tbl = p["code_library"]["embedding_instance_articulation"]["embedding"]
+        d = tbl[1:] - tbl[:-1]
+        return weight * jnp.sum(d * d)
+
+    if getattr(loss_fn, "returns_grads", False):
+
+        def wrapped(params, batch, key):
+            loss, aux, grads = loss_fn(params, batch, key)
+            sval, sgrads = jax.value_and_grad(smooth)(params)
+            grads = jax.tree.map(jnp.add, grads, sgrads)
+            return loss + sval, dict(aux, reg=aux["reg"] + sval), grads
+
+        wrapped.returns_grads = True
+    else:
+
+        def wrapped(params, batch, key):
+            loss, aux = loss_fn(params, batch, key)
+            sval = smooth(params)
+            return loss + sval, dict(aux, reg=aux["reg"] + sval)
+
+    return wrapped
+
+
 class VanillaSystem:
     """exp_type="vanilla": single-scene NeRF on sharded ray batches."""
 
@@ -337,6 +372,8 @@ class AutoDecoderSystem:
             )
         else:
             loss_fn = flax_loss_fn
+        if cfg.art_code_smoothness > 0:
+            loss_fn = _with_art_smoothness(loss_fn, cfg.art_code_smoothness)
         self._fused_multichip = use_fused and n_dev > 1
 
         @functools.partial(jax.jit, donate_argnums=(0,))

@@ -64,6 +64,13 @@ class Config:
     # latent codes (articulated)
     N_max_objs: int = 151
     N_obj_code_length: int = 128
+    # Articulation-table smoothness: weight on sum ||z_{i+1} - z_i||^2 over
+    # the 10-row articulation embedding.  The reference's test-time demo
+    # renders MIDPOINT latents (code_library.py:55-71) that training never
+    # sees; pulling consecutive codes together makes the latent trajectory
+    # locally linear so those midpoints decode to intermediate geometry.
+    # 0 = off (exact reference objective).
+    art_code_smoothness: float = 0.0
 
     # data / batching
     batch_size: int = 2048  # rays per step (vanilla)

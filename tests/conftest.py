@@ -22,6 +22,15 @@ import jax  # noqa: E402
 # of JAX_PLATFORMS; the programmatic override below wins.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the 1-core host pays tens of seconds per jit
+# compile; warm reruns of the suite skip all of them (cache dir gitignored).
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(__file__), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -124,6 +124,81 @@ def test_autodecoder_train_step_updates_latents(eight_devices):
     assert float(m["train/loss/reg"]) > 0
 
 
+def test_autodecoder_art_smoothness_contracts_table(eight_devices):
+    """art_code_smoothness pulls consecutive articulation codes together
+    (and composes with either loss-fn convention via _with_art_smoothness)."""
+    from aon_tpu.parallel import get_mesh, shard_ray_batch
+    from aon_tpu.train.systems import AutoDecoderSystem
+    from aon_tpu.utils.config import Config
+
+    def gap(state):
+        tbl = np.asarray(
+            state.params["code_library"]["embedding_instance_articulation"][
+                "embedding"
+            ]
+        )
+        return float(np.sum((tbl[1:] - tbl[:-1]) ** 2))
+
+    mesh = get_mesh(8)
+    host = _host_batch(batch=64)
+    host["instance_id"] = np.int32(1)
+    host["articulation_id"] = np.int32(2)
+
+    gaps = {}
+    for w in (0.0, 10.0):
+        cfg = Config(
+            N_samples=8, N_importance=8, compute_dtype="float32", N_max_objs=4,
+            art_code_smoothness=w,
+        )
+        system = AutoDecoderSystem(cfg, 2.0, 6.0, False)
+        state = system.init_state(jax.random.PRNGKey(0))
+        batch = shard_ray_batch(host, mesh)
+        for i in range(3):
+            state, m = system.train_step(state, batch, jax.random.PRNGKey(i))
+        assert np.isfinite(float(m["train/loss"]))
+        gaps[w] = gap(state)
+    # the regularized run must contract neighbor distances vs the baseline
+    assert gaps[10.0] < gaps[0.0]
+
+
+def test_art_smoothness_wrapper_adds_analytic_grads():
+    """_with_art_smoothness on the in-kernel-grad (v3) convention: the
+    smoothness gradient lands on the articulation table only."""
+    import jax.numpy as jnp
+
+    from aon_tpu.train.systems import _with_art_smoothness
+
+    tbl = jnp.asarray(np.random.default_rng(0).normal(size=(4, 8)).astype(np.float32))
+    params = {
+        "code_library": {"embedding_instance_articulation": {"embedding": tbl}},
+        "model": {"w": jnp.ones((3,))},
+    }
+
+    def base(params, batch, key):
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        return jnp.float32(1.5), {"reg": jnp.float32(0.25)}, zeros
+
+    base.returns_grads = True
+    wrapped = _with_art_smoothness(base, 2.0)
+    assert wrapped.returns_grads
+    loss, aux, grads = wrapped(params, {}, jax.random.PRNGKey(0))
+    d = tbl[1:] - tbl[:-1]
+    sval = 2.0 * float(jnp.sum(d * d))
+    np.testing.assert_allclose(float(loss), 1.5 + sval, rtol=1e-6)
+    np.testing.assert_allclose(float(aux["reg"]), 0.25 + sval, rtol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(grads["model"]["w"]), np.zeros(3, np.float32)
+    )
+    g_ref = jax.grad(
+        lambda t: 2.0 * jnp.sum((t[1:] - t[:-1]) ** 2)
+    )(tbl)
+    np.testing.assert_allclose(
+        np.asarray(grads["code_library"]["embedding_instance_articulation"]["embedding"]),
+        np.asarray(g_ref),
+        rtol=1e-6,
+    )
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from aon_tpu.train.checkpoint import CheckpointManager
 

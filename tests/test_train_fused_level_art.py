@@ -158,7 +158,7 @@ def test_fused_autodecoder_step_fn_trains():
     from aon_tpu.ops.train_fused_level_art import make_fused_autodecoder_step_fn
 
     g = np.random.default_rng(1)
-    B = 64
+    B = 32
     d = g.normal(size=(B, 3)).astype(np.float32)
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
     batch = {
@@ -197,7 +197,7 @@ def test_fused_autodecoder_step_fn_trains():
     tx = optax.adam(1e-3)
     opt_state = tx.init(params)
     losses = []
-    for i in range(8):
+    for i in range(4):
         loss, aux, grads = step_fn(params, batch, jax.random.fold_in(key, i))
         updates, opt_state = tx.update(grads, opt_state)
         params = optax.apply_updates(params, updates)
@@ -271,7 +271,7 @@ def test_fused_ae_step_fn_grads_reach_encoder():
     tx = optax.adam(1e-3)
     opt_state = tx.init(params)
     losses = []
-    for i in range(6):
+    for i in range(4):
         loss, aux, grads = step_fn(params, batch, jax.random.fold_in(key, i))
         updates, opt_state = tx.update(grads, opt_state)
         params = optax.apply_updates(params, updates)
