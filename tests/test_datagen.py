@@ -251,3 +251,35 @@ def test_soft_backend_test_spheric_split_and_honest_gt(tmp_path):
     # rays follow the stored spheric pose
     c2w = np.array(meta["frames"]["r_1"], dtype=np.float32)
     np.testing.assert_allclose(t["rays_o"][0], c2w[:3, 3], atol=1e-5)
+
+
+def test_manifest_digest_and_verify(tmp_path, monkeypatch, capsys):
+    """datagen/manifest.py: stable digest, write/verify roundtrip, edit detection."""
+    import datagen.manifest as M
+
+    root = tmp_path / "data" / "toy"
+    (root / "train" / "rgb").mkdir(parents=True)
+    (root / "train" / "rgb" / "r_0.png").write_bytes(b"aaa")
+    (root / "transforms.json").write_text('{"focal": 100}')
+
+    d1 = M.dataset_digest(str(root))
+    assert d1["files"] == 2
+    assert M.dataset_digest(str(root)) == d1  # deterministic
+
+    manifest = tmp_path / "MANIFEST.json"
+    monkeypatch.setattr(M, "MANIFEST", str(manifest))
+
+    monkeypatch.setattr(
+        "sys.argv", ["manifest.py", "--write", "--data_dir", str(tmp_path / "data")]
+    )
+    assert M.main() == 0 and manifest.exists()
+
+    monkeypatch.setattr(
+        "sys.argv", ["manifest.py", "--data_dir", str(tmp_path / "data")]
+    )
+    assert M.main() == 0
+    assert "ok" in capsys.readouterr().out
+
+    (root / "train" / "rgb" / "r_0.png").write_bytes(b"bbb")  # mutate
+    assert M.main() == 1
+    assert "MISMATCH" in capsys.readouterr().out
