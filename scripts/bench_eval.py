@@ -1,10 +1,19 @@
 """Eval render latency benchmark: one full 640x480 frame on real hardware.
 
-Prints one JSON line per chunk size:
-  {"chunk": N, "frame_ms": M, "frames_per_sec": F}
+Two modes:
 
-Timing forces a host readback of a scalar derived from the frame (the axon
-relay acks block_until_ready early — see BASELINE.md timing notes).
+* default (no args): the REFERENCE-CONTRACT path — synthetic random rays,
+  64+193 samples over the global [2, 6] interval, no AABB.  Prints one JSON
+  line per chunk size: {"chunk": N, "frame_ms": M, "frames_per_sec": F}.
+
+* ``--config configs/quality_...json``: the PRODUCTION path — a real val
+  frame from the config's dataset through the exact trainer eval pipeline
+  (``trainer._render_full`` logic: AABB per-ray intervals + hit-ray
+  compaction when ``use_aabb``, config sample counts, config chunking).
+  Prints {"mode": "production", "frame_ms": ..., "hit_frac": ...}.
+
+Timing forces a host readback of the full frame (render_frame returns
+numpy; the axon relay acks block_until_ready early — see BASELINE.md).
 """
 
 from __future__ import annotations
@@ -20,10 +29,10 @@ import numpy as np
 
 from aon_tpu.parallel import get_mesh
 from aon_tpu.train.systems import VanillaSystem
-from aon_tpu.utils.config import Config
+from aon_tpu.utils.config import Config, get_config
 
 
-def main() -> None:
+def bench_reference_contract() -> None:
     w, h = 640, 480
     mesh = get_mesh()
     cfg = Config(compute_dtype="bfloat16")
@@ -68,6 +77,60 @@ def main() -> None:
             "chunk": chunk, "frame_ms": round(dt * 1e3, 1),
             "frames_per_sec": round(1.0 / dt, 2),
         }), flush=True)
+
+
+def bench_production(cfg: Config) -> None:
+    """The trainer's real eval path on the config's dataset (random params:
+    with AABB compaction the latency depends on scene geometry, not fit)."""
+    from aon_tpu.data import dataset_dict
+    from aon_tpu.eval.render import render_frame
+    from aon_tpu.train.systems import build_system
+
+    mesh = get_mesh()
+    ds = dataset_dict[cfg.dataset_name](
+        split="val", root_dir=cfg.root_dir, img_wh=tuple(cfg.img_wh),
+        white_back=cfg.white_back, use_aabb=cfg.use_aabb, aabb_pad=cfg.aabb_pad,
+    )
+    system = build_system(cfg, ds.near, ds.far, cfg.white_back, mesh=mesh)
+    state = system.init_state(jax.random.PRNGKey(0))
+    frame = ds.full_frame(0)
+    n = frame["rays_o"].shape[0]
+    hit_frac = float(np.mean(frame["hit"])) if "hit" in frame else 1.0
+
+    chunk = min(cfg.chunk, 61440) if jax.default_backend() == "tpu" else cfg.chunk
+    miss_fill = None
+    if "hit" in frame:
+        bg = 1.0 if cfg.white_back else 0.0
+        miss_fill = {"comp_rgb": bg, "acc": 0.0, "depth": 0.0}
+
+    def chunk_fn(rays, **ex):
+        return system.render_chunk(state.params, rays, **ex)
+
+    def run():
+        return render_frame(chunk_fn, frame, mesh, chunk, miss_fill=miss_fill)
+
+    out = run()  # compile
+    assert out["comp_rgb"].shape[0] == n
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = run()
+        _ = float(out["comp_rgb"][0, 0])  # render_frame returns host numpy
+    dt = (time.perf_counter() - t0) / reps
+    print(json.dumps({
+        "mode": "production", "config": cfg.config,
+        "img_wh": list(cfg.img_wh), "samples": [cfg.N_samples, cfg.N_importance],
+        "use_aabb": bool(cfg.use_aabb), "hit_frac": round(hit_frac, 4),
+        "chunk": chunk, "frame_ms": round(dt * 1e3, 1),
+        "frames_per_sec": round(1.0 / dt, 2),
+    }), flush=True)
+
+
+def main() -> None:
+    if any(a.startswith("--config") for a in sys.argv[1:]):
+        bench_production(get_config())
+    else:
+        bench_reference_contract()
 
 
 if __name__ == "__main__":
