@@ -191,7 +191,9 @@ def test_vanilla_train_step_with_aabb(fixture_single, eight_devices):
     from aon_tpu.train.systems import VanillaSystem
     from aon_tpu.utils.config import Config
 
-    mesh = get_mesh(8)
+    # 2-dev mesh: end-to-end train+render is execution-bound (see
+    # test_train.py note); 8-dev coverage lives in the parity tests.
+    mesh = get_mesh(2)
     ds = SapienDataset(str(fixture_single), split="train", img_wh=(64, 48),
                        white_back=True, use_aabb=True)
     cfg = Config(N_samples=8, N_importance=8, batch_size=64,

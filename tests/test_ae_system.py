@@ -59,7 +59,10 @@ def test_ae_train_step(eight_devices):
     cfg = Config(
         N_samples=4, N_importance=4, compute_dtype="float32", img_wh=[32, 24]
     )
-    mesh = get_mesh(8)
+    # 2-dev mesh: the AE step's 8-way all-reduce rendezvous dominated suite
+    # wall-time on 1-core hosts (measured 254s solo, mostly execution);
+    # 8-dev AE coverage lives in __graft_entry__.dryrun_multichip.
+    mesh = get_mesh(2)
     system = AutoEncoderSystem(cfg, 2.0, 6.0, False)
     state = system.init_state(jax.random.PRNGKey(0))
 
@@ -112,6 +115,7 @@ def test_ae_validate_logs_state_metrics(tmp_path):
         root_dir=str(fixture), img_wh=[32, 24], N_samples=4, N_importance=4,
         compute_dtype="float32", limit_val_batches=1, chunk=768,
         output_path=str(tmp_path / "results"), exp_name="ae_val",
+        num_devices=2,  # AE validate is execution-bound; see test_ae_train_step
     )
     tr = Trainer(cfg)
     tr.validate(epoch=0)

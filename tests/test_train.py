@@ -56,7 +56,10 @@ def _vanilla_system(batch=64):
 def test_vanilla_train_step_decreases_loss(eight_devices):
     from aon_tpu.parallel import get_mesh, shard_ray_batch
 
-    mesh = get_mesh(8)
+    # 2-dev mesh: 40 sequential steps are execution-bound and an 8-way
+    # all-reduce rendezvous crawls on 1-core hosts; full 8-dev parity is
+    # covered by test_sharded_matches_single_device.
+    mesh = get_mesh(2)
     system = _vanilla_system()
     state = system.init_state(jax.random.PRNGKey(0))
     batch = shard_ray_batch(_host_batch(), mesh)
@@ -102,7 +105,7 @@ def test_autodecoder_train_step_updates_latents(eight_devices):
     cfg = Config(
         N_samples=8, N_importance=8, compute_dtype="float32", N_max_objs=4
     )
-    mesh = get_mesh(8)
+    mesh = get_mesh(2)  # sharded path; 8-dev parity covered elsewhere
     system = AutoDecoderSystem(cfg, 2.0, 6.0, False)
     state = system.init_state(jax.random.PRNGKey(0))
     host = _host_batch(batch=64)
@@ -139,7 +142,7 @@ def test_autodecoder_art_smoothness_contracts_table(eight_devices):
         )
         return float(np.sum((tbl[1:] - tbl[:-1]) ** 2))
 
-    mesh = get_mesh(8)
+    mesh = get_mesh(2)  # sharded path; 8-dev parity covered elsewhere
     host = _host_batch(batch=64)
     host["instance_id"] = np.int32(1)
     host["articulation_id"] = np.int32(2)
@@ -252,7 +255,10 @@ def test_cli_smoke_fit_and_eval(tmp_path):
     cfg_path.write_text(json.dumps(cfg))
     env = {
         "JAX_PLATFORMS": "cpu",
-        "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+        # 2 virtual devices: the smoke test drives the CLI + sharded trainer
+        # end-to-end; 8-dev execution is covered by the parity tests and is
+        # needlessly slow here on 1-core hosts.
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
         "PATH": "/usr/bin:/bin:/usr/local/bin",
         "HOME": "/root",
     }
@@ -288,7 +294,7 @@ def test_config_routed_optimizer_radam(eight_devices):
     np.testing.assert_allclose(float(system.lr_schedule(0)), cfg.lr_init, rtol=1e-6)
     state = system.init_state(jax.random.PRNGKey(0))
     before = np.asarray(jax.tree.leaves(state.params)[0]).copy()
-    batch = shard_ray_batch(_host_batch(), get_mesh(8))
+    batch = shard_ray_batch(_host_batch(), get_mesh(2))
     state, m = system.train_step(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(m["train/loss"]))
     after = np.asarray(jax.tree.leaves(state.params)[0])
