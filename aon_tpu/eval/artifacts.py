@@ -83,7 +83,7 @@ def write_stats(fpath: str, *stats: dict) -> None:
         if stat is None:
             continue
         d[stat["name"]] = {
-            k: (float(w) if w is not None else None)
+            k: (w if isinstance(w, list) or w is None else float(w))
             for (k, w) in stat.items()
             if k not in ("name", "scene_wise")
         }

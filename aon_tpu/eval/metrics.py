@@ -104,7 +104,12 @@ def lpips(pred: np.ndarray, gt: np.ndarray) -> Optional[float]:
 
 
 def summarize(name: str, values: List[float]) -> dict:
-    """Reference results.json stat dict shape (interface.py:125-171)."""
+    """Reference results.json stat dict shape (interface.py:125-171), plus a
+    per-frame ``each`` list so committed artifacts can back frame-level
+    analyses (e.g. learned-vs-interpolated latent frames of the 19-pose
+    articulation sweep, where even indices use trained codes and odd
+    indices midpoint-interpolated ones — code_library.py:55-71)."""
     vals = [v for v in values if v is not None and np.isfinite(v)]
     mean = float(np.mean(vals)) if vals else float("nan")
-    return {"name": name, "mean": mean, "test": mean}
+    each = [None if v is None or not np.isfinite(v) else float(v) for v in values]
+    return {"name": name, "mean": mean, "test": mean, "each": each}
