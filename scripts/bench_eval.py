@@ -91,6 +91,12 @@ def bench_production(cfg: Config) -> None:
         split="val", root_dir=cfg.root_dir, img_wh=tuple(cfg.img_wh),
         white_back=cfg.white_back, use_aabb=cfg.use_aabb, aabb_pad=cfg.aabb_pad,
     )
+    if not hasattr(ds, "full_frame"):
+        raise SystemExit(
+            "--config production mode drives single-scene (sapien) datasets; "
+            "articulated eval frames are 320x240 (reference README.md:105) — "
+            "far below the 640x480 latency budget this benchmark measures"
+        )
     system = build_system(cfg, ds.near, ds.far, cfg.white_back, mesh=mesh)
     state = system.init_state(jax.random.PRNGKey(0))
     frame = ds.full_frame(0)
