@@ -146,3 +146,23 @@ def ray_intervals(
     (the sampling t-axis is the dataset's normalized viewdirs)."""
     hit, tn, tf = ray_box_intersection(bounds, rays_o, dirs)
     return hit, tn.astype(np.float32), tf.astype(np.float32)
+
+
+def ray_intervals_with_grid(
+    bounds: np.ndarray,
+    grid: Optional[np.ndarray],
+    rays_o: np.ndarray,
+    dirs: np.ndarray,
+    dilate: int = 2,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Slab intervals, optionally refined by an occupancy grid
+    (``data/occgrid.py``).  ``grid=None`` degrades to the plain AABB path;
+    ``dilate`` is the grid's dilation count (sets the safe probe step)."""
+    hit, tn, tf = ray_intervals(bounds, rays_o, dirs)
+    if grid is not None:
+        from aon_tpu.data.occgrid import refine_intervals
+
+        hit, tn, tf = refine_intervals(
+            bounds, grid, rays_o, dirs, hit, tn, tf, dilate=dilate
+        )
+    return hit, tn, tf

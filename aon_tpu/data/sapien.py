@@ -60,6 +60,9 @@ class SapienDataset:
         eval_inference: Optional[str] = None,
         use_aabb: bool = False,
         aabb_pad: float = 0.05,
+        use_occgrid: bool = False,
+        occgrid_res: int = 128,
+        occgrid_dilate: int = 2,
     ):
         self.root_dir = root_dir
         self.split = split
@@ -71,7 +74,16 @@ class SapienDataset:
         # the TRAIN split's depth maps so train/val/test agree on where the
         # model is defined.  None when depth data is absent (feature off).
         self.scene_bounds = None
-        if use_aabb:
+        self.occ_grid = None
+        if use_occgrid:
+            from aon_tpu.data.occgrid import scene_occgrid
+
+            self.scene_bounds, self.occ_grid = scene_occgrid(
+                [os.path.join(root_dir, "train")], tuple(img_wh), pad=aabb_pad,
+                res=occgrid_res, dilate=occgrid_dilate,
+            )
+            self._occ_dilate = occgrid_dilate
+        elif use_aabb:
             from aon_tpu.data.aabb import scene_aabb
 
             self.scene_bounds = scene_aabb(
@@ -134,11 +146,45 @@ class SapienDataset:
             # Keep only rays whose slab interval hits the scene AABB: the
             # model is empty outside, so missed rays render exactly the
             # background with zero loss/gradient — pure waste to train on.
-            from aon_tpu.data.aabb import ray_intervals
+            from aon_tpu.data.aabb import ray_intervals_with_grid
 
-            hit, tn, tf = ray_intervals(
-                self.scene_bounds, self.all_rays_o, self.all_viewdirs
-            )
+            ivs = None
+            iv_cache = None
+            if self.occ_grid is not None:
+                # grid refinement probes ~60 voxels along each of ~5M slab-hit
+                # rays — minutes of host numpy on this 1-core box, identical
+                # across runs of the same (split, img_wh, grid) — cache it
+                w, h = self.img_wh
+                iv_cache = os.path.join(
+                    self.base_dir,
+                    f".occ_intervals_{w}x{h}_n{len(self.img_files)}.npz",
+                )
+                try:
+                    with np.load(iv_cache, allow_pickle=False) as z:
+                        if (
+                            z["bounds"].shape == self.scene_bounds.shape
+                            and np.allclose(z["bounds"], self.scene_bounds)
+                            and z["grid_sum"] == int(self.occ_grid.sum())
+                            and z["hit"].shape[0] == self.all_rays_o.shape[0]
+                        ):
+                            ivs = (z["hit"], z["tn"], z["tf"])
+                except (OSError, ValueError, KeyError):
+                    pass
+            if ivs is None:
+                ivs = ray_intervals_with_grid(
+                    self.scene_bounds, self.occ_grid, self.all_rays_o,
+                    self.all_viewdirs, dilate=getattr(self, "_occ_dilate", 2),
+                )
+                if iv_cache is not None:
+                    try:
+                        np.savez(
+                            iv_cache, bounds=self.scene_bounds,
+                            grid_sum=int(self.occ_grid.sum()),
+                            hit=ivs[0], tn=ivs[1], tf=ivs[2],
+                        )
+                    except OSError:
+                        pass
+            hit, tn, tf = ivs
             alpha = np.concatenate(all_alpha, 0)
             dropped_fg = float(((alpha > 0) & ~hit).sum()) / max(
                 1, int((alpha > 0).sum())
@@ -221,8 +267,11 @@ class SapienDataset:
             "img_wh": np.array([w, h]),
         }
         if self.scene_bounds is not None:
-            from aon_tpu.data.aabb import ray_intervals
+            from aon_tpu.data.aabb import ray_intervals_with_grid
 
-            hit, tn, tf = ray_intervals(self.scene_bounds, rays_o, viewdirs)
+            hit, tn, tf = ray_intervals_with_grid(
+                self.scene_bounds, self.occ_grid, rays_o, viewdirs,
+                dilate=getattr(self, "_occ_dilate", 2),
+            )
             frame.update(hit=hit, t_near=tn, t_far=tf)
         return frame

@@ -52,6 +52,9 @@ class SapienDatasetMulti:
         ray_batch_size: int = 4096,
         use_aabb: bool = False,
         aabb_pad: float = 0.05,
+        use_occgrid: bool = False,
+        occgrid_res: int = 128,
+        occgrid_dilate: int = 2,
     ):
         self.root_dir = root_dir
         self.split = split
@@ -66,14 +69,26 @@ class SapienDatasetMulti:
         # AABB interval tightening (data/aabb.py): one box bounding ALL
         # instances at ALL train articulations, from the datagen depth maps.
         self.scene_bounds = None
-        if use_aabb:
-            from aon_tpu.data.aabb import scene_aabb
-
+        self.occ_grid = None
+        if use_aabb or use_occgrid:
             deg_dirs = []
             for inst in self.ids:
                 base = os.path.join(root_dir, inst, "train")
                 deg_dirs += [f.path for f in os.scandir(base) if f.is_dir()]
-            self.scene_bounds = scene_aabb(sorted(deg_dirs), tuple(img_wh), pad=aabb_pad)
+            if use_occgrid:
+                from aon_tpu.data.occgrid import scene_occgrid
+
+                self.scene_bounds, self.occ_grid = scene_occgrid(
+                    sorted(deg_dirs), tuple(img_wh), pad=aabb_pad,
+                    res=occgrid_res, dilate=occgrid_dilate,
+                )
+                self._occ_dilate = occgrid_dilate
+            else:
+                from aon_tpu.data.aabb import scene_aabb
+
+                self.scene_bounds = scene_aabb(
+                    sorted(deg_dirs), tuple(img_wh), pad=aabb_pad
+                )
         # decoded-frame cache: training revisits (instance, degree, image)
         # tuples constantly and PNG decode + ray gen dominate host time
         self._frame_cache = {}
@@ -151,9 +166,12 @@ class SapienDatasetMulti:
         )
         aabb = None
         if self.scene_bounds is not None:
-            from aon_tpu.data.aabb import ray_intervals
+            from aon_tpu.data.aabb import ray_intervals_with_grid
 
-            aabb = ray_intervals(self.scene_bounds, rays_o, viewdirs)
+            aabb = ray_intervals_with_grid(
+                self.scene_bounds, self.occ_grid, rays_o, viewdirs,
+                dilate=getattr(self, "_occ_dilate", 2),
+            )
         return rays_o, viewdirs, rays_d, img, seg, aabb
 
     def _to_sample(self, rays_o, viewdirs, rays_d, img, seg, pix_inds=None, aabb=None):

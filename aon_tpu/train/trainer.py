@@ -48,6 +48,8 @@ class Trainer:
         common = dict(
             root_dir=cfg.root_dir, img_wh=tuple(cfg.img_wh), white_back=cfg.white_back,
             use_aabb=cfg.use_aabb, aabb_pad=cfg.aabb_pad,
+            use_occgrid=cfg.use_occgrid, occgrid_res=cfg.occgrid_res,
+            occgrid_dilate=cfg.occgrid_dilate,
         )
         if cfg.dataset_name == "sapien_multi":
             common.update(

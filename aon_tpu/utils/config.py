@@ -60,6 +60,13 @@ class Config:
     # far fewer samples — the TPU-first fast path with no reference analogue.
     use_aabb: bool = False
     aabb_pad: float = 0.05
+    # Occupancy-grid interval refinement (data/occgrid.py, implies use_aabb
+    # machinery): splat train depth points into a res^3 voxel grid and shrink
+    # each ray's slab interval to its [first, last] occupied probe — tighter
+    # than the box slab wherever the ray crosses empty box corners.
+    use_occgrid: bool = False
+    occgrid_res: int = 128
+    occgrid_dilate: int = 2
 
     # latent codes (articulated)
     N_max_objs: int = 151
@@ -145,7 +152,7 @@ class Config:
 
 _BOOL_FIELDS = {
     "white_back", "run_eval", "use_disp", "use_pallas", "finetune_lpips",
-    "debug_nans", "use_aabb",
+    "debug_nans", "use_aabb", "use_occgrid",
 }
 
 

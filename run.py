@@ -10,6 +10,18 @@ vanilla_ae_art; output layout: results/{exp_name} checkpoints + metrics,
 ckpts/{exp_name}/{render_name} eval artifacts + results.json.
 """
 
+import os
+
+if os.environ.get("JAX_PLATFORMS"):
+    # The image's axon sitecustomize force-registers the TPU backend at
+    # interpreter start, which makes jax ignore the JAX_PLATFORMS env var;
+    # the programmatic config override still wins (same trick as
+    # tests/conftest.py).  Lets `JAX_PLATFORMS=cpu python run.py ...` run
+    # on host while the chip is busy.
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 from aon_tpu.parallel.mesh import maybe_initialize_distributed
 from aon_tpu.train.trainer import Trainer
 from aon_tpu.utils.config import get_config

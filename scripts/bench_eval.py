@@ -90,6 +90,8 @@ def bench_production(cfg: Config) -> None:
     ds = dataset_dict[cfg.dataset_name](
         split="val", root_dir=cfg.root_dir, img_wh=tuple(cfg.img_wh),
         white_back=cfg.white_back, use_aabb=cfg.use_aabb, aabb_pad=cfg.aabb_pad,
+        use_occgrid=cfg.use_occgrid, occgrid_res=cfg.occgrid_res,
+        occgrid_dilate=cfg.occgrid_dilate,
     )
     if not hasattr(ds, "full_frame"):
         raise SystemExit(
