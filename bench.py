@@ -15,10 +15,11 @@ rays/s; BASELINE.json's north star is >=10x the 8-GPU rate (~200k rays/s)
 on a v5e-8, i.e. vs_baseline >= 80 per chip-8 or ~10 per chip.
 
 Default sample counts / intervals are the PRODUCTION config proven at
-reference-equal quality (see BASELINE.md "equal-PSNR" rows): the AABB fast
-path (data/aabb.py) tightens each ray to its scene-box slab, so quality
-holds at far fewer samples.  --reference_contract benchmarks the
-reference's own 64+193-sample [2,6] recipe instead.
+reference-equal quality (see BASELINE.md "equal-PSNR" rows): the
+occupancy-grid fast path (data/occgrid.py on top of data/aabb.py) tightens
+each ray to its occupied sub-interval, so quality holds at far fewer
+samples.  --reference_contract benchmarks the reference's own
+64+193-sample [2,6] recipe instead.
 """
 
 import argparse
@@ -34,11 +35,16 @@ import numpy as np
 REFERENCE_RAYS_PER_SEC = 25000.0
 
 
-def _synthetic_batch(batch: int, tight: bool, seed: int = 0):
-    """Random unit rays from radius-4 origins; with ``tight``, AABB-style
-    per-ray intervals matching the measured laptop-scene distribution
-    (mean span ~0.65 around t=3.7 — cost depends only on sample count,
-    the values just have to be realistic)."""
+def _synthetic_batch(batch: int, tight, seed: int = 0):
+    """Random unit rays from radius-4 origins; with ``tight``, per-ray
+    intervals matching the measured laptop-scene distribution — cost
+    depends only on sample count, the values just have to be realistic.
+
+    tight="aabb": scene-box slab intervals (mean span ~0.65 around t=3.7).
+    tight="occ":  occupancy-grid-refined intervals (measured on
+      data/laptop_single train rays: t_near mean 3.73 [p5 3.11, p95 4.41],
+      span mean 0.19 [p5 0.04, p95 0.69] — see aon_tpu/data/occgrid.py).
+    """
     g = np.random.default_rng(seed)
     d = g.normal(size=(batch, 3)).astype(np.float32)
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
@@ -48,7 +54,12 @@ def _synthetic_batch(batch: int, tight: bool, seed: int = 0):
         "viewdirs": d,
         "target": g.uniform(size=(batch, 3)).astype(np.float32),
     }
-    if tight:
+    if tight == "occ":
+        tn = g.normal(3.73, 0.4, size=batch).clip(3.0, 4.5).astype(np.float32)
+        span = g.lognormal(np.log(0.13), 0.9, size=batch).clip(0.03, 1.37)
+        b["t_near"] = tn
+        b["t_far"] = (tn + span).astype(np.float32)
+    elif tight:  # "aabb" (or legacy True)
         tn = g.uniform(3.2, 3.6, size=batch).astype(np.float32)
         b["t_near"] = tn
         b["t_far"] = tn + g.uniform(0.4, 0.9, size=batch).astype(np.float32)
@@ -138,15 +149,19 @@ def bench_ae(args) -> float:
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    # Defaults = the production equal-PSNR contract (BASELINE.md): AABB
-    # interval tightening + 24 coarse / 48 fine samples — proven at
-    # val PSNR 41.59 on the reference's exact 100k-step schedule, +2.0 dB
-    # ABOVE the reference-contract (64+193) run's 39.62
-    # (results/laptop_vanilla_refsched_aabb24/metrics.jsonl step 100000).
-    p.add_argument("--N_samples", type=int, default=24)
-    p.add_argument("--N_importance", type=int, default=48)
+    # Defaults = the production equal-PSNR contract (BASELINE.md):
+    # occupancy-grid interval refinement + 16 coarse / 32 fine samples —
+    # proven at val PSNR ABOVE the reference-contract (64+193) run's 39.62
+    # on the reference's exact 100k-step schedule
+    # (results/laptop_vanilla_refsched_occ16/metrics.jsonl step 100000;
+    # the 24+48 AABB row remains in BASELINE.md: --N_samples 24
+    # --N_importance 48 --tight aabb).
+    p.add_argument("--N_samples", type=int, default=16)
+    p.add_argument("--N_importance", type=int, default=32)
     p.add_argument("--batch", type=int, default=32768)
-    p.add_argument("--tight", action="store_true", default=True)
+    p.add_argument("--tight", nargs="?", const="aabb", default="occ",
+                   choices=["aabb", "occ"],
+                   help="per-ray interval distribution (default: occ)")
     p.add_argument("--no_tight", dest="tight", action="store_false")
     p.add_argument("--reference_contract", action="store_true",
                    help="benchmark the reference's 64+193-sample [2,6] recipe")
@@ -169,9 +184,16 @@ def main() -> None:
     )
     if args.headline_only:
         return
+    # The articulated systems' committed quality evidence runs the reference
+    # 64+128 contract with no interval tightening (configs/quality_*_autodec*,
+    # quality_laptop_ae.json) — measure their rates at THAT contract rather
+    # than inheriting the vanilla production defaults.
+    art_args = argparse.Namespace(**vars(args))
+    if not args.reference_contract:
+        art_args.N_samples, art_args.N_importance, art_args.tight = 64, 128, False
     for name, fn in (("autodecoder", bench_autodecoder), ("ae", bench_ae)):
         try:
-            r = fn(args)
+            r = fn(art_args)
             print(json.dumps({
                 "metric": f"train_rays_per_sec_{name}", "value": round(r, 1),
                 "unit": "rays/s",
