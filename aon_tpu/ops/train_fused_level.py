@@ -267,6 +267,38 @@ def _bwd_from_acts(enc, venc, g_rgb, g_sigma, acts, w, gw):
     acc("b0", bias_grad(da))
 
 
+@functools.lru_cache()
+def _device_vmem_bytes() -> int:
+    """Per-core VMEM capacity backing the scoped-vmem requests below.
+
+    Known generations from public TPU specs (v5e/v5p/v6e: 128 MiB — the
+    v5e figure is also validated by round-3 measurements: 64-80 MiB scoped
+    requests compile and run).  UNKNOWN device kinds get the conservative
+    16 MiB architectural floor so _vmem_params raises a clear error here
+    instead of a mysterious Mosaic allocation failure mid-compile."""
+    if jax.default_backend() != "tpu":
+        return 1 << 30  # CPU / interpret mode: no VMEM constraint
+    kind = jax.devices()[0].device_kind.lower()
+    for tag in ("v5 lite", "v5litepod", "v5e", "v5p", "v6 lite", "v6e", "v6p"):
+        if tag in kind:
+            return 128 << 20
+    return 16 << 20
+
+
+def _vmem_params(mb: int):
+    """CompilerParams for an ``mb``-MiB scoped-vmem request, checked against
+    the device's capacity so other TPU generations fail LOUDLY with a fix."""
+    cap = _device_vmem_bytes()
+    if (mb << 20) > cap:
+        raise RuntimeError(
+            f"fused level-train kernel requests a {mb} MiB scoped-VMEM budget "
+            f"but this device ({jax.devices()[0].device_kind}) has ~{cap >> 20} "
+            "MiB VMEM; drop max_tile_rows (1024 -> 32 MiB, 512 -> 16 MiB) and "
+            "re-tune with scripts/bench_level_tiles.py on this generation"
+        )
+    return pltpu.CompilerParams(vmem_limit_bytes=mb << 20)
+
+
 def _choose_tile(s_real: int, max_rows: int = 1024) -> Tuple[int, int]:
     """(s_pad, rays_per_tile) minimizing pad waste, then maximizing tile.
 
@@ -352,9 +384,8 @@ def fused_level_train_grads(
     if not interpret:
         # live activations + f32 weights + f32 grad accumulators exceed the
         # conservative 16M default scoped-vmem budget (~18.4M at 640 rows);
-        # v5e has 128M — scale the request with the tile
-        mb = 32 if tile_rows <= 1024 else 64
-        compiler_params = pltpu.CompilerParams(vmem_limit_bytes=mb * 1024 * 1024)
+        # scale the request with the tile, capacity-checked per generation
+        compiler_params = _vmem_params(32 if tile_rows <= 1024 else 64)
     outs = pl.pallas_call(
         kernel,
         interpret=interpret,
@@ -431,13 +462,14 @@ def make_fused_step_fn(
         # half the pad waste of (80, 8) and measured +13% on v5e
         # (scripts/bench_level_tiles.py); the fine level and the articulated
         # kernels measure FASTER at the 1024 default (VMEM pressure).
-        # v5e ASSUMPTION: the 2048-row tile requests a 64 MB vmem budget
-        # (fused_level_train_grads), fine on v5e's 128 MB VMEM; on parts
-        # with 64 MB (v4 and older) drop max_tile_rows to 1024 and re-run
-        # scripts/bench_level_tiles.py.
+        # The 2048-row tile requests a 64 MiB scoped-vmem budget — derived
+        # for the 128 MiB VMEM generations (v5e/v5p/v6e); smaller-VMEM parts
+        # fall back to 1024-row tiles via the capacity table, and unknown
+        # generations fail loudly in _vmem_params rather than in Mosaic.
+        coarse_tile = 2048 if _device_vmem_bytes() >= (128 << 20) else 1024
         err0, wgt, g_c = fused_level_train_grads(
             packed_c, enc_consts, t_vals, rays_o, rays_d, viewdirs, target,
-            white_bkgd, max_tile_rows=2048,
+            white_bkgd, max_tile_rows=coarse_tile,
         )
 
         t_mids = 0.5 * (t_vals[..., 1:] + t_vals[..., :-1])

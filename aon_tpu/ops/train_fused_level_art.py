@@ -50,6 +50,7 @@ from aon_tpu.ops.train_fused_level import (
     _round_up,
     _seg_scan_excl_prod,
     _seg_scan_excl_suffix_sum,
+    _vmem_params,
 )
 
 _HI = jax.lax.Precision.HIGHEST
@@ -281,9 +282,8 @@ def fused_level_train_art_grads(
     if not interpret:
         # live articulated activations + f32 eff weights + grad accumulators
         # exceed the conservative 16M default scoped-vmem budget; scale with
-        # the tile (v5e has 128M)
-        mb = 48 if tile_rows <= 1024 else 80
-        compiler_params = pltpu.CompilerParams(vmem_limit_bytes=mb * 1024 * 1024)
+        # the tile, capacity-checked per generation (train_fused_level)
+        compiler_params = _vmem_params(48 if tile_rows <= 1024 else 80)
     outs = pl.pallas_call(
         kernel,
         interpret=interpret,
@@ -426,16 +426,14 @@ def make_fused_ae_step_fn(
     model_ae_art.py:380-408 — instance-masked MSE + joint-state MSE +
     opacity BCE on both levels (relu sigma, un-padded sigmoid rgb).
 
-    Microbatching approximation: the masked-MSE denominator (3*sum(mask))
-    and the BCE 1/B normalization are computed PER MICROBATCH; under
-    ``accumulated_grads`` with k>1 the result is the mean of per-microbatch
-    masked means, which differs from the reference's whole-batch masked
-    mean when mask counts vary across microbatches.  The production AE
-    config runs k=1 (4096-ray batches == microbatch_rays*2 at 2048... i.e.
-    k=2 only if microbatch_rays < ray_batch_size); with the default
-    microbatch_rays=2048 and 4096-ray batches, k=2 — the approximation is
-    a second-order batch-composition effect, measured indistinguishable in
-    the laptop AE quality run (results/laptop_ae_ref).
+    Microbatching is EXACT: the masked-MSE denominator is the whole-batch
+    3*sum(mask) (reference model_ae_art.py:380-387), computed once over all
+    k microbatches (and psum-med across chips under shard_map) by the
+    ``prepare_shared`` hook and divided by k*n_chips so the accumulator's
+    (1/k) mean and the cross-chip pmean recompose the reference's
+    whole-batch masked mean bit-for-bit in exact arithmetic.  The BCE's
+    1/B normalization needs no such correction — equal-size microbatches
+    make the mean of per-microbatch BCE means equal the whole-batch mean.
     """
     from aon_tpu.core import sampling
     from aon_tpu.ops.fused_mlp import make_posenc_constants
@@ -471,7 +469,9 @@ def make_fused_ae_step_fn(
         (latents, loss_state), enc_vjp = jax.vjp(enc_fn, enc_sub)
 
         mask = batch["instance_mask"].reshape(-1).astype(jnp.float32)
-        denom = jnp.maximum(3.0 * jnp.sum(mask), 1.0)
+        denom = batch.get("photo_denom")
+        if denom is None:  # unaccumulated call: the batch IS the whole batch
+            denom = jnp.maximum(3.0 * jnp.sum(mask), 1.0)
         lw = mask / denom
 
         def level(mlp_params, t_vals):
@@ -512,5 +512,17 @@ def make_fused_ae_step_fn(
         }
         return loss, aux, grads
 
+    def prepare_shared(batch, axis_name=None):
+        """Whole-batch masked-MSE denominator, pre-divided by (k microbatches
+        x n chips) so downstream mean-reductions recompose it exactly."""
+        k = 1 if batch["rays_o"].ndim == 2 else batch["rays_o"].shape[0]
+        s = jnp.sum(batch["instance_mask"].astype(jnp.float32))
+        n = 1
+        if axis_name is not None:
+            s = jax.lax.psum(s, axis_name)
+            n = jax.lax.axis_size(axis_name)
+        return {"photo_denom": jnp.maximum(3.0 * s, 1.0) / (k * n)}
+
     step_fn.returns_grads = True
+    step_fn.prepare_shared = prepare_shared
     return step_fn

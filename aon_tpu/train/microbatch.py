@@ -51,13 +51,25 @@ def _loss_aux_grads(loss_fn: Callable, params, batch: Dict, key: jax.Array):
     return loss, aux, grads
 
 
-def accumulated_grads(loss_fn: Callable, params, batch: Dict, key: jax.Array):
+def accumulated_grads(
+    loss_fn: Callable, params, batch: Dict, key: jax.Array, axis_name=None
+):
     """Mean (loss, aux, grads) over stacked microbatches.
 
     ``batch``: ray entries (k, m, ...), shared entries as-is.
     ``loss_fn(params, flat_batch, key) -> (loss, aux_dict)`` sees (m, ...)
     ray entries.
+
+    A loss_fn may expose ``prepare_shared(batch, axis_name) -> dict`` to
+    compute WHOLE-BATCH reductions (across all k microbatches and, when
+    ``axis_name`` names the mesh data axis we are shard_mapped over, across
+    all chips) that each microbatch then consumes as shared entries — e.g.
+    the AE's masked-MSE denominator, which the reference computes over the
+    full ray batch (model_ae_art.py:380-387), not per microbatch.
     """
+    prep = getattr(loss_fn, "prepare_shared", None)
+    if prep is not None:
+        batch = dict(batch, **prep(batch, axis_name))
     ray_parts = {n: v for n, v in batch.items() if n in RAY_KEYS}
     shared = {n: v for n, v in batch.items() if n not in RAY_KEYS}
 
@@ -71,7 +83,15 @@ def accumulated_grads(loss_fn: Callable, params, batch: Dict, key: jax.Array):
         mb = dict(shared, **{n: v[0] for n, v in ray_parts.items()})
         return _loss_aux_grads(loss_fn, params, mb, key)
 
-    keys = jax.random.split(key, k)
+    if "ray_ids" in batch:
+        # global per-ray ids already decorrelate every ray's stream (per-ray
+        # fold_in, core/sampling.per_ray_uniform); keeping the step key
+        # microbatch-INVARIANT makes the training trajectory independent of
+        # the microbatch count k (changing microbatch_rays only re-chunks
+        # compute, it does not resample)
+        keys = jnp.stack([key] * k)
+    else:
+        keys = jax.random.split(key, k)
 
     def body(carry, xs):
         grads_acc, loss_acc, aux_acc = carry
@@ -127,7 +147,9 @@ def make_train_many_sharded(loss_fn: Callable, metrics_fn: Callable, mesh):
 
         def step(st, xs):
             k, b = xs
-            loss, aux, grads = accumulated_grads(loss_fn, st.params, b, k)
+            loss, aux, grads = accumulated_grads(
+                loss_fn, st.params, b, k, axis_name="data"
+            )
             loss, aux, grads = jax.lax.pmean((loss, aux, grads), "data")
             st = st.apply_gradients(grads=grads)
             return st, (loss, aux)

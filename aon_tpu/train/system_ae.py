@@ -169,7 +169,9 @@ class AutoEncoderSystem:
                 )
             mask = batch["instance_mask"].reshape(-1, 1)  # (B, 1) float
             mask3 = jnp.broadcast_to(mask, batch["target"].shape)
-            denom = jnp.maximum(jnp.sum(mask3), 1.0)
+            denom = batch.get("photo_denom")
+            if denom is None:  # unaccumulated call: the batch IS the whole batch
+                denom = jnp.maximum(jnp.sum(mask3), 1.0)
 
             def masked_mse(pred):
                 return jnp.sum(((pred - batch["target"]) ** 2) * mask3) / denom
@@ -188,6 +190,20 @@ class AutoEncoderSystem:
                 "loss_state": loss_state,
                 "opacity_loss": opacity,
             }
+
+        def _prepare_shared(batch, axis_name=None):
+            """Whole-batch masked-MSE denominator (model_ae_art.py:380-387),
+            pre-divided by (k microbatches x n chips) so the accumulator's
+            1/k mean and the cross-chip pmean recompose it exactly."""
+            k = 1 if batch["rays_o"].ndim == 2 else batch["rays_o"].shape[0]
+            s = 3.0 * jnp.sum(batch["instance_mask"].astype(jnp.float32))
+            n = 1
+            if axis_name is not None:
+                s = jax.lax.psum(s, axis_name)
+                n = jax.lax.axis_size(axis_name)
+            return {"photo_denom": jnp.maximum(s, 1.0) / (k * n)}
+
+        flax_or_v2_loss_fn.prepare_shared = _prepare_shared
 
         if use_fused and cfg.fused_train == "v3" and cfg.noise_std == 0:
             # v3: one kernel per level (fwd + compositing + masked MSE +

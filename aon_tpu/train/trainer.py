@@ -82,6 +82,45 @@ class Trainer:
         self.base_key, init_key = jax.random.split(key)
         self.state = self.system.init_state(init_key)
         self.global_step = 0
+        self._heartbeat = time.time()
+        self._watchdog_started = False
+
+    # ------------------------------------------------------------- watchdog
+
+    WATCHDOG_EXIT_CODE = 17
+
+    def _beat(self) -> None:
+        self._heartbeat = time.time()
+
+    def _start_watchdog(self) -> None:
+        """No-progress watchdog for the axon relay-hang hazard (ROADMAP
+        "environment hazards"): the relay can hang a dispatch forever with
+        the trainer thread stuck in a socket wait.  A checkpoint save from
+        here would hang on the same readback (and the live state may hold
+        donated buffers), so recovery = exit nonzero and let
+        scripts/train_resilient.py relaunch with --ckpt_path last.ckpt
+        (checkpoints save every val epoch; at most one epoch is lost)."""
+        timeout = float(self.cfg.watchdog_timeout or 0.0)
+        if timeout <= 0 or self._watchdog_started:
+            return
+        self._watchdog_started = True
+        import threading
+
+        def _watch():
+            while True:
+                time.sleep(min(30.0, timeout / 4))
+                stalled = time.time() - self._heartbeat
+                if stalled > timeout:
+                    print(
+                        f"[watchdog] no dispatch progress for {stalled:.0f}s "
+                        f"(> {timeout:.0f}s) at step {self.global_step}; "
+                        f"exiting {self.WATCHDOG_EXIT_CODE} — relaunch with "
+                        "--ckpt_path last.ckpt to resume",
+                        flush=True,
+                    )
+                    os._exit(self.WATCHDOG_EXIT_CODE)
+
+        threading.Thread(target=_watch, daemon=True, name="aon-watchdog").start()
 
     # ------------------------------------------------------------------ fit
 
@@ -117,6 +156,8 @@ class Trainer:
                 print("no checkpoint to resume from; starting fresh")
         ckpt_every = 1 if finetune else cfg.ckpt_every_n_epochs
 
+        self._beat()
+        self._start_watchdog()
         it = self._train_iterator()
         steps_per_epoch = self._steps_per_epoch()
         rays_per_step = (
@@ -163,6 +204,7 @@ class Trainer:
                 self.global_step += t_now
                 steps_done += t_now
                 n_rays += rays_per_step * t_now
+                self._beat()
                 if self.global_step % cfg.log_every_n_steps < t_now:
                     metrics = {k: float(v) for k, v in metrics.items()}
                     if math.isnan(metrics["train/loss"]):
@@ -252,6 +294,7 @@ class Trainer:
         first_viz = None
         for i, frame in enumerate(self._val_frames()):
             ret = self._render_full(self.state.params, frame)
+            self._beat()
             p = M.psnr(ret["comp_rgb"], frame["target"])
             psnrs.append(p)
             if "instance_mask" in frame:

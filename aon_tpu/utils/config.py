@@ -127,6 +127,13 @@ class Config:
     # debugging / profiling (SURVEY §5)
     debug_nans: bool = False  # jax_debug_nans (detect_anomaly analogue)
     profile_dir: Optional[str] = None  # jax.profiler trace of the first epoch
+    # No-progress watchdog (seconds; 0 = off).  The axon device relay can
+    # hang a dispatch indefinitely (observed twice in round 3 — ROADMAP
+    # "environment hazards"); when no dispatch/val frame completes for this
+    # long, the trainer exits with code 17 so a wrapper
+    # (scripts/train_resilient.py) can relaunch with --ckpt_path last.ckpt.
+    # Must exceed the worst single compile+dispatch (~5 min cold).
+    watchdog_timeout: float = 0.0
 
     # logging / checkpointing
     log_every_n_steps: int = 50

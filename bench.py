@@ -41,9 +41,12 @@ def _synthetic_batch(batch: int, tight, seed: int = 0):
     depends only on sample count, the values just have to be realistic.
 
     tight="aabb": scene-box slab intervals (mean span ~0.65 around t=3.7).
-    tight="occ":  occupancy-grid-refined intervals (measured on
+    tight="occ":  occupancy-grid-refined intervals.  Measured on
       data/laptop_single train rays: t_near mean 3.73 [p5 3.11, p95 4.41],
-      span mean 0.19 [p5 0.04, p95 0.69] — see aon_tpu/data/occgrid.py).
+      span mean 0.19 [p5 0.04, p95 0.69] (aon_tpu/data/occgrid.py); the
+      lognormal below is an APPROXIMATION of that distribution (its own
+      p95 is ~0.57) — throughput depends only on the sample count, which
+      is identical, not on the interval values.
     """
     g = np.random.default_rng(seed)
     d = g.normal(size=(batch, 3)).astype(np.float32)
@@ -159,9 +162,11 @@ def main() -> None:
     p.add_argument("--N_samples", type=int, default=16)
     p.add_argument("--N_importance", type=int, default=32)
     p.add_argument("--batch", type=int, default=32768)
-    p.add_argument("--tight", nargs="?", const="aabb", default="occ",
+    p.add_argument("--tight", nargs="?", const="occ", default="occ",
                    choices=["aabb", "occ"],
-                   help="per-ray interval distribution (default: occ)")
+                   help="per-ray interval distribution (default and bare "
+                        "const: occ; pass --tight aabb explicitly for the "
+                        "looser slab-only contract)")
     p.add_argument("--no_tight", dest="tight", action="store_false")
     p.add_argument("--reference_contract", action="store_true",
                    help="benchmark the reference's 64+193-sample [2,6] recipe")
@@ -184,10 +189,13 @@ def main() -> None:
     )
     if args.headline_only:
         return
-    # The articulated systems' committed quality evidence runs the reference
-    # 64+128 contract with no interval tightening (configs/quality_*_autodec*,
-    # quality_laptop_ae.json) — measure their rates at THAT contract rather
-    # than inheriting the vanilla production defaults.
+    # The articulated systems' committed quality evidence
+    # (configs/quality_laptop_autodec_24k.json, quality_scissors_autodec.json,
+    # quality_laptop_ae.json) runs the reference 64+128 contract with no
+    # interval tightening — measure their rates at THAT contract rather than
+    # inheriting the vanilla production defaults.  (quality_laptop4_autodec
+    # is the exception: it already runs 24+48 AABB, but carries no committed
+    # equal-PSNR evidence yet.)
     art_args = argparse.Namespace(**vars(args))
     if not args.reference_contract:
         art_args.N_samples, art_args.N_importance, art_args.tight = 64, 128, False
