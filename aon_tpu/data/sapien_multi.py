@@ -55,6 +55,7 @@ class SapienDatasetMulti:
         use_occgrid: bool = False,
         occgrid_res: int = 128,
         occgrid_dilate: int = 2,
+        obj_ray_oversample: float = 0.0,
     ):
         self.root_dir = root_dir
         self.split = split
@@ -63,6 +64,7 @@ class SapienDatasetMulti:
         self.near, self.far = NEAR, FAR
         self.samples_per_epoch = samples_per_epoch
         self.ray_batch_size = ray_batch_size
+        self.obj_ray_oversample = float(obj_ray_oversample)
 
         self.ids = np.sort([f.name for f in os.scandir(root_dir) if f.is_dir()])
 
@@ -203,6 +205,55 @@ class SapienDatasetMulti:
                 sample.update(hit=hit, t_near=tn, t_far=tf)
         return sample
 
+    def _draw_pixels(self, g, cand_idx, seg, n_pixels):
+        """(pix_inds, loss_w|None) for one train item.
+
+        Uniform with replacement over the candidate set (reference
+        sapien_multi.py:234-241; the AABB path restricts candidates to
+        box-hitting rays).  With ``obj_ray_oversample`` = f > 0, a fraction f
+        of the batch is drawn uniformly from OBJECT (seg>0) pixels instead;
+        each ray then carries the importance weight
+
+            loss_w_i = (1/N) / p_i,   p_i = (1-f)/N + f*[i in obj]/N_obj
+
+        so (1/B) sum loss_w_i err_i^2 stays an unbiased estimator of the
+        uniform-pixel mean — more object gradient per step, same objective.
+        """
+        B = self.ray_batch_size
+        f = self.obj_ray_oversample
+        if cand_idx is None:
+            n_cand = n_pixels
+
+            def draw_uniform(n):
+                return g.integers(0, n_pixels, size=n)
+
+        else:
+            n_cand = len(cand_idx)
+
+            def draw_uniform(n):
+                return cand_idx[g.integers(0, n_cand, size=n)]
+
+        if f <= 0.0:
+            return draw_uniform(B), None
+
+        seg_flat = seg.reshape(-1)
+        obj_idx = np.flatnonzero(seg_flat) if cand_idx is None else (
+            cand_idx[seg_flat[cand_idx]]
+        )
+        if len(obj_idx) == 0:  # no object pixels: degrade to uniform
+            return draw_uniform(B), None
+        n_obj_draw = int(round(f * B))
+        pix_inds = np.concatenate(
+            [
+                draw_uniform(B - n_obj_draw),
+                obj_idx[g.integers(0, len(obj_idx), size=n_obj_draw)],
+            ]
+        )
+        p = np.full(len(pix_inds), (1.0 - f) / n_cand, dtype=np.float64)
+        p[seg_flat[pix_inds]] += f / len(obj_idx)
+        loss_w = (1.0 / n_cand) / p
+        return pix_inds, loss_w.astype(np.float32)
+
     # ----- item generators -----
 
     def __len__(self) -> int:
@@ -228,11 +279,13 @@ class SapienDatasetMulti:
             if aabb is not None:
                 # AABB path: rays missing the box are exactly background with
                 # zero loss/grad — draw (with replacement) from hit rays only
-                hit_idx = np.flatnonzero(aabb[0])
-                pix_inds = hit_idx[g.integers(0, len(hit_idx), size=self.ray_batch_size)]
+                cand_idx = np.flatnonzero(aabb[0])
             else:
-                pix_inds = g.integers(0, h * w, size=self.ray_batch_size)
+                cand_idx = None  # all pixels
+            pix_inds, loss_w = self._draw_pixels(g, cand_idx, seg, h * w)
             sample = self._to_sample(rays_o, viewdirs, rays_d, img, seg, pix_inds, aabb)
+            if loss_w is not None:
+                sample["loss_w"] = loss_w
             sample["deg"] = np.float32(np.deg2rad(IDX_TO_DEG["train"][deg_idx]))
             sample["instance_id"] = np.int32(train_idx)
             sample["articulation_id"] = np.int32(deg_idx)

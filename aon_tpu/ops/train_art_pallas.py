@@ -134,8 +134,14 @@ def make_fused_autodecoder_loss_fn(
         )
         comp1, _, _, _ = level(params["model"]["fine_mlp"], latents, rays, t_vals, samples)
 
-        loss0 = img2mse(comp0, batch["target"])
-        loss1 = img2mse(comp1, batch["target"])
+        w = batch.get("loss_w")  # mean-1 importance weights or None
+        if w is None:
+            loss0 = img2mse(comp0, batch["target"])
+            loss1 = img2mse(comp1, batch["target"])
+        else:
+            w = w.reshape(-1, 1)
+            loss0 = jnp.mean(w * (comp0 - batch["target"]) ** 2)
+            loss1 = jnp.mean(w * (comp1 - batch["target"]) ** 2)
         # latent-norm regularization (model_autodecoder.py:456-466)
         reg = 1e-4 * (
             jnp.mean(jnp.linalg.norm(latents["density"], axis=0))

@@ -363,7 +363,15 @@ def make_fused_autodecoder_step_fn(
 
         (latents, reg), lat_vjp = jax.vjp(lat_fn, params["code_library"])
 
-        lw = jnp.full((B,), 1.0 / (B * 3.0))
+        # optional per-ray importance weights (object-pixel oversampling,
+        # data/sapien_multi._draw_pixels) — mean-1 by construction, so the
+        # default uniform case is lw = 1/(B*3) exactly
+        w = batch.get("loss_w")
+        lw = (
+            jnp.full((B,), 1.0 / (B * 3.0))
+            if w is None
+            else w.reshape(-1) / (B * 3.0)
+        )
         m = jnp.zeros((B,))
 
         def level(mlp_params, t_vals):

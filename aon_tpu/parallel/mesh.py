@@ -28,7 +28,7 @@ DATA_AXIS = "data"
 # (1, 3, H, W) src_imgs on a 1-device mesh (1 % 1 == 0 looks "shardable").
 RAY_KEYS = (
     "rays_o", "rays_d", "viewdirs", "target", "instance_mask", "radii",
-    "ray_ids", "t_near", "t_far", "hit",
+    "ray_ids", "t_near", "t_far", "hit", "loss_w",
 )
 
 

@@ -335,8 +335,14 @@ class AutoDecoderSystem:
                 {"params": params["model"]}, _rays_of(batch), latents, key, True,
                 white_bkgd, batch.get("t_near", near), batch.get("t_far", far),
             )
-            loss0 = img2mse(out[0][0], batch["target"])
-            loss1 = img2mse(out[1][0], batch["target"])
+            w = batch.get("loss_w")  # mean-1 importance weights or None
+            if w is None:
+                loss0 = img2mse(out[0][0], batch["target"])
+                loss1 = img2mse(out[1][0], batch["target"])
+            else:
+                w = w.reshape(-1, 1)
+                loss0 = jnp.mean(w * (out[0][0] - batch["target"]) ** 2)
+                loss1 = jnp.mean(w * (out[1][0] - batch["target"]) ** 2)
             # latent-norm regularization (model_autodecoder.py:456-466):
             # torch.norm(code, dim=0) over a (1, C) code == per-channel |x|.
             reg = (

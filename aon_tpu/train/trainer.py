@@ -52,8 +52,19 @@ class Trainer:
             occgrid_dilate=cfg.occgrid_dilate,
         )
         if cfg.dataset_name == "sapien_multi":
+            if cfg.obj_ray_oversample > 0 and cfg.exp_type == "vanilla_ae_art":
+                # the AE's instance-masked MSE would need the importance
+                # weights in BOTH the numerator and the mask-count
+                # denominator; not wired — fail loudly instead of silently
+                # training a biased objective
+                raise ValueError(
+                    "obj_ray_oversample is only supported for "
+                    "exp_type=vanilla_autodecoder (plain-MSE objective)"
+                )
             common.update(
-                samples_per_epoch=cfg.samples_per_epoch, ray_batch_size=cfg.ray_batch_size
+                samples_per_epoch=cfg.samples_per_epoch,
+                ray_batch_size=cfg.ray_batch_size,
+                obj_ray_oversample=cfg.obj_ray_oversample,
             )
         if cfg.run_eval:
             self.test_dataset = ds_cls(

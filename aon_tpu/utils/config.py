@@ -79,6 +79,15 @@ class Config:
     # 0 = off (exact reference objective).
     art_code_smoothness: float = 0.0
 
+    # Object-pixel ray oversampling (sapien_multi train batches): fraction of
+    # each ray batch drawn uniformly from OBJECT (seg>0) pixels, the rest
+    # uniformly from all candidate pixels; per-ray importance weights
+    # ("loss_w") keep the photometric objective UNBIASED for the uniform-pixel
+    # mean.  Thin-geometry scenes (scissors at 320x240: ~4% object pixels)
+    # otherwise spend <5% of the gradient signal on the object.  0 = off
+    # (exact reference sampling, sapien_multi.py:234-241).
+    obj_ray_oversample: float = 0.0
+
     # data / batching
     batch_size: int = 2048  # rays per step (vanilla)
     ray_batch_size: int = 4096  # rays per step (articulated, sapien_multi)
