@@ -91,10 +91,14 @@ class Trainer:
 
         key = jax.random.PRNGKey(cfg.seed)
         self.base_key, init_key = jax.random.split(key)
-        self.state = self.system.init_state(init_key)
         self.global_step = 0
         self._heartbeat = time.time()
         self._watchdog_started = False
+        # arm BEFORE the first device work: the relay hang has been observed
+        # during init_state itself (device param init is a dispatch too)
+        self._start_watchdog()
+        self.state = self.system.init_state(init_key)
+        self._beat()
 
     # ------------------------------------------------------------- watchdog
 
@@ -168,7 +172,7 @@ class Trainer:
         ckpt_every = 1 if finetune else cfg.ckpt_every_n_epochs
 
         self._beat()
-        self._start_watchdog()
+        self._start_watchdog()  # no-op if armed at __init__; cheap insurance
         it = self._train_iterator()
         steps_per_epoch = self._steps_per_epoch()
         rays_per_step = (
@@ -362,6 +366,7 @@ class Trainer:
             else:
                 frame = self.test_dataset.full_frame(i)
             ret = self._render_full(self.state.params, frame, is_test=is_multi)
+            self._beat()
             rgbs.append(ret["comp_rgb"].reshape(h, w, 3))
             targets.append(np.asarray(frame["target"]).reshape(h, w, 3))
             masks.append(np.asarray(frame["instance_mask"]).reshape(h, w))

@@ -1,6 +1,7 @@
-"""Multi-process eval gather: 2 CPU processes under jax.distributed must
-assemble the same frame as a single process (VERDICT r1 item 6; reference
-``interface.py:31-51`` all-gather contract)."""
+"""Multi-process eval gather AND training: 2 CPU processes under
+jax.distributed must assemble the same frame (reference ``interface.py:31-51``
+all-gather contract) and train to the same loss/params (the reference's
+primary multi-process DDP mode, ``run.py:109,129,151``) as a single process."""
 
 import subprocess
 import sys
@@ -11,6 +12,7 @@ import pytest
 
 REPO = Path(__file__).resolve().parent.parent
 DEMO = REPO / "scripts" / "multihost_eval_demo.py"
+TRAIN_DEMO = REPO / "scripts" / "multihost_train_demo.py"
 
 
 def _env():
@@ -86,3 +88,41 @@ def test_two_process_gather_matches_single(tmp_path):
         for k in want.files:
             np.testing.assert_allclose(got[k], want[k], rtol=1e-5, atol=1e-6,
                                        err_msg=f"{out.name}:{k}")
+
+
+@pytest.mark.slow
+def test_two_process_train_matches_single(tmp_path):
+    """2-process data-parallel TRAINING (global mesh, XLA cross-process
+    gradient reduction) must reach the single-process loss and params."""
+    golden = tmp_path / "t_single.npz"
+    r = subprocess.run(
+        [sys.executable, str(TRAIN_DEMO), "--out", str(golden)],
+        env=_env(), capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    procs = []
+    outs = [tmp_path / f"t_p{i}.npz" for i in range(2)]
+    for pid in range(2):
+        procs.append(subprocess.Popen(
+            [sys.executable, str(TRAIN_DEMO), "--num_processes", "2",
+             "--process_id", str(pid), "--coordinator", "localhost:19245",
+             "--out", str(outs[pid])],
+            env=_env(), stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        ))
+    for p in procs:
+        try:
+            _, err = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            _, err = p.communicate()
+        assert p.returncode == 0, err[-2000:]
+
+    want = np.load(golden)
+    for out in outs:
+        got = np.load(out)
+        np.testing.assert_allclose(got["loss"], want["loss"], rtol=1e-5)
+        np.testing.assert_allclose(
+            got["params_digest"], want["params_digest"], rtol=1e-6
+        )
+        assert int(got["processes"]) == 2
