@@ -189,19 +189,23 @@ def main() -> None:
     )
     if args.headline_only:
         return
-    # The articulated systems' committed quality evidence
-    # (configs/quality_laptop_autodec_24k.json, quality_scissors_autodec.json,
-    # quality_laptop_ae.json) runs the reference 64+128 contract with no
-    # interval tightening — measure their rates at THAT contract rather than
-    # inheriting the vanilla production defaults.  (quality_laptop4_autodec
-    # is the exception: it already runs 24+48 AABB, but carries no committed
-    # equal-PSNR evidence yet.)
-    art_args = argparse.Namespace(**vars(args))
+    # Each articulated system is measured at the contract its committed
+    # equal-PSNR evidence actually gates (BASELINE.md):
+    #   autodecoder — 24+48 AABB, gated by the laptop_autodec_24k_aabb24 run
+    #     (val 30.21 / test 32.29 BEATS the 64+128 row's 29.37 / 31.93 at the
+    #     same 24k-step budget; ckpts/laptop_autodec_24k_aabb24/results.json).
+    #   ae — gated by configs/quality_laptop_ae_aabb24.json once its run
+    #     lands; until then the committed evidence (quality_laptop_ae.json)
+    #     is the untightened 64+128 contract, so measure THAT.
+    ad_args = argparse.Namespace(**vars(args))
+    ae_args = argparse.Namespace(**vars(args))
     if not args.reference_contract:
-        art_args.N_samples, art_args.N_importance, art_args.tight = 64, 128, False
-    for name, fn in (("autodecoder", bench_autodecoder), ("ae", bench_ae)):
+        ad_args.N_samples, ad_args.N_importance, ad_args.tight = 24, 48, "aabb"
+        ae_args.N_samples, ae_args.N_importance, ae_args.tight = 64, 128, False
+    for name, fn, a in (("autodecoder", bench_autodecoder, ad_args),
+                        ("ae", bench_ae, ae_args)):
         try:
-            r = fn(art_args)
+            r = fn(a)
             print(json.dumps({
                 "metric": f"train_rays_per_sec_{name}", "value": round(r, 1),
                 "unit": "rays/s",
