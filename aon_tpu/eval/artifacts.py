@@ -77,8 +77,8 @@ def store_video(dirpath: str, rgbs: Iterable[np.ndarray], fps: int = 20) -> Opti
         return None
 
 
-def write_stats(fpath: str, *stats: dict) -> None:
-    d = {}
+def write_stats(fpath: str, *stats: dict, extra: dict | None = None) -> None:
+    d = dict(extra or {})
     for stat in stats:
         if stat is None:
             continue

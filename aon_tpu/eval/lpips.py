@@ -84,13 +84,27 @@ def _lpips_distance(params, pred, gt):
     return total
 
 
+def lpips_weights_kind() -> Optional[str]:
+    """None (no weights), "pretrained", or "synthetic" (random-weight npz
+    from scripts/make_synthetic_lpips_weights.py — plumbing-test only; its
+    values are meaningless as a perceptual metric).  Recorded in every eval
+    results.json that reports a non-null LPIPS."""
+    path = _weights_path()
+    if path is None:
+        return None
+    with np.load(path) as data:
+        return "synthetic" if "__synthetic__" in data.files else "pretrained"
+
+
 @functools.lru_cache(maxsize=1)
 def lpips_fn() -> Optional[Callable]:
     path = _weights_path()
     if path is None:
         return None
     data = np.load(path)
-    params = {k: jnp.asarray(data[k]) for k in data.files}
+    params = {
+        k: jnp.asarray(data[k]) for k in data.files if k != "__synthetic__"
+    }
     dist = jax.jit(lambda p, g: _lpips_distance(params, p, g))
 
     def fn(pred: np.ndarray, gt: np.ndarray) -> float:

@@ -397,12 +397,20 @@ class Trainer:
             store_depth_img(image_dir, depths, "depth")
         if is_multi:
             store_video(image_dir, rgbs)
+        extra = None
+        if lpips_stats:
+            from aon_tpu.eval.lpips import lpips_weights_kind
+
+            # label the weight provenance: "synthetic" LPIPS values are a
+            # plumbing proof, not a perceptual metric (weights/README.md)
+            extra = {"lpips_weights": lpips_weights_kind()}
         write_stats(
             os.path.join("ckpts", cfg.exp_name, "results.json"),
             psnr_stats,
             ssim_stats,
             lpips_stats,
             psnr_obj_stats,
+            extra=extra,
         )
         results = {
             "test/psnr": psnr_stats["test"],

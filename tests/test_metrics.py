@@ -147,3 +147,39 @@ def test_val_grid_panels(rng):
     assert grid.shape == (h, w * 4, 3)
     grid2 = val_grid((w, h), rng.uniform(size=(n, 3)), rng.uniform(size=(n, 3)))
     assert grid2.shape == (h, w * 2, 3)
+
+
+def test_synthetic_lpips_weights_label_and_execute(tmp_path):
+    """scripts/make_synthetic_lpips_weights.py output loads through the full
+    LPIPS path (kind == "synthetic", finite distance, zero for identical
+    images) so eval artifacts carry the provenance label."""
+    import os
+    import subprocess
+    import sys
+
+    from aon_tpu.eval import lpips as L
+
+    npz = tmp_path / "lpips_vgg.synthetic.npz"
+    r = subprocess.run(
+        [sys.executable, "scripts/make_synthetic_lpips_weights.py",
+         "--out", str(npz)],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    os.environ["AON_LPIPS_WEIGHTS"] = str(npz)
+    L.lpips_fn.cache_clear()
+    try:
+        assert L.lpips_weights_kind() == "synthetic"
+        fn = L.lpips_fn()
+        assert fn is not None
+        g = np.random.default_rng(0)
+        a = g.uniform(size=(32, 32, 3)).astype(np.float32)
+        b = g.uniform(size=(32, 32, 3)).astype(np.float32)
+        d = fn(a, b)
+        assert np.isfinite(d) and d > 0
+        assert fn(a, a) == 0.0
+    finally:
+        del os.environ["AON_LPIPS_WEIGHTS"]
+        L.lpips_fn.cache_clear()
+    assert L.lpips_weights_kind() in (None, "pretrained")
