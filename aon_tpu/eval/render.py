@@ -85,7 +85,11 @@ def render_frame(
     outs: Dict[str, np.ndarray] = {}
     for k, v in proto.items():
         if v.ndim >= 1 and v.shape[0] == len(sel):  # per-ray output: scatter
-            full = np.full((n, *v.shape[1:]), miss_fill.get(k, 0.0), v.dtype)
+            # outputs without an explicit miss value fill with NaN, not 0:
+            # a silent 0-fill shrinks whole-frame means by the hit fraction
+            # (this bit val/state_error_rad — pred_state is per-ray-constant)
+            default = np.nan if np.issubdtype(v.dtype, np.floating) else 0
+            full = np.full((n, *v.shape[1:]), miss_fill.get(k, default), v.dtype)
             full[sel] = v
             outs[k] = full
         else:  # per-frame output (e.g. pred_state): pass through

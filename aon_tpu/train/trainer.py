@@ -87,7 +87,10 @@ class Trainer:
             return jax.device_put(state, replicated_sharding(self.mesh))
 
         self._replicate = _replicate
-        self.logger = MetricLogger(str(self.result_dir), stdout_every=cfg.log_every_n_steps)
+        self.logger = MetricLogger(
+            str(self.result_dir), stdout_every=cfg.log_every_n_steps,
+            sinks=cfg.metric_sinks,
+        )
 
         key = jax.random.PRNGKey(cfg.seed)
         self.base_key, init_key = jax.random.split(key)
@@ -319,8 +322,11 @@ class Trainer:
             if "pred_state" in ret and "deg" in frame:
                 # joint-state regression metrics (model_ae_art.py:519-523):
                 # state_error_rad = MSE(pred, gt) in radians;
-                # abs_state_error_deg = round(deg(pred)) - round(deg(gt))
-                pred = float(np.mean(ret["pred_state"]))
+                # abs_state_error_deg = round(deg(pred)) - round(deg(gt)).
+                # pred_state is per-ray-constant; under the AABB compaction
+                # path miss rays carry NaN fill (eval/render.py) — reduce
+                # over hit rays only
+                pred = float(np.nanmean(ret["pred_state"]))
                 gt = float(frame["deg"])
                 state_sq_errs.append((pred - gt) ** 2)
                 state_deg_errs.append(
