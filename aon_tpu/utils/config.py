@@ -21,6 +21,7 @@ import json
 import sys
 from dataclasses import dataclass, field
 from typing import List, Optional
+from typing import List, Optional
 
 
 @dataclass
@@ -146,6 +147,11 @@ class Config:
 
     # logging / checkpointing
     log_every_n_steps: int = 50
+    # metric sink names (aon_tpu/train/sinks.py registry): default
+    # ["jsonl", "stdout"]; add "tensorboard" for TB event files under
+    # results/{exp_name}/tb (no tensorboard package needed), "wandb" to
+    # force the wandb sink (also auto-added when WANDB_PROJECT is set)
+    metric_sinks: Optional[List[str]] = None
     check_val_every_n_epoch: int = 1
     limit_val_batches: int = 5
     save_top_k: int = 5
@@ -180,6 +186,8 @@ def _build_parser() -> argparse.ArgumentParser:
             p.add_argument(name, default=None, action="store_true")
         elif f.name in ("img_wh", "decay_step"):
             p.add_argument(name, nargs="+", type=int, default=None)
+        elif f.name == "metric_sinks":
+            p.add_argument(name, nargs="+", type=str, default=None)
         else:
             typ = f.type
             caster = {"int": int, "float": float, "str": str, "Optional[str]": str}.get(
