@@ -424,6 +424,7 @@ def make_fused_ae_step_fn(
     num_fine: int = 128,
     opacity_lambda: float = 0.5,
     lindisp: bool = False,
+    bg_lambda: float = 0.0,
 ):
     """v3 auto-encoder step: ``fn(params, batch, key) -> (loss, aux, grads)``.
 
@@ -442,6 +443,16 @@ def make_fused_ae_step_fn(
     whole-batch masked mean bit-for-bit in exact arithmetic.  The BCE's
     1/B normalization needs no such correction — equal-size microbatches
     make the mean of per-microbatch BCE means equal the whole-batch mean.
+
+    ``bg_lambda`` > 0 adds bg_lambda * (background-masked MSE) — mean over
+    the (1-mask) pixels against the seg-masked GT background color — as an
+    extra per-ray loss-weight component (the kernel's photometric path is
+    already sum_r lw_r |err_r|^2, so no kernel change).  Default 0 keeps
+    the exact reference objective (model_ae_art.py:380-387); the AABB/occ
+    tightened production configs need it because the reference's
+    BCE-on-acc-as-logits quirk alone cannot clear in-box free space (see
+    Config.bg_loss_lambda).  Its denominator gets the same whole-batch
+    pre-division, so microbatching stays exact.
     """
     from aon_tpu.core import sampling
     from aon_tpu.ops.fused_mlp import make_posenc_constants
@@ -481,6 +492,11 @@ def make_fused_ae_step_fn(
         if denom is None:  # unaccumulated call: the batch IS the whole batch
             denom = jnp.maximum(3.0 * jnp.sum(mask), 1.0)
         lw = mask / denom
+        if bg_lambda != 0.0:
+            denom_bg = batch.get("photo_denom_bg")
+            if denom_bg is None:
+                denom_bg = jnp.maximum(3.0 * jnp.sum(1.0 - mask), 1.0)
+            lw = lw + bg_lambda * (1.0 - mask) / denom_bg
 
         def level(mlp_params, t_vals):
             packed = fold_latents(mlp_params, latents)
@@ -524,12 +540,17 @@ def make_fused_ae_step_fn(
         """Whole-batch masked-MSE denominator, pre-divided by (k microbatches
         x n chips) so downstream mean-reductions recompose it exactly."""
         k = 1 if batch["rays_o"].ndim == 2 else batch["rays_o"].shape[0]
-        s = jnp.sum(batch["instance_mask"].astype(jnp.float32))
+        m = batch["instance_mask"].astype(jnp.float32)
+        s, s_bg = jnp.sum(m), jnp.sum(1.0 - m)
         n = 1
         if axis_name is not None:
             s = jax.lax.psum(s, axis_name)
+            s_bg = jax.lax.psum(s_bg, axis_name)
             n = jax.lax.axis_size(axis_name)
-        return {"photo_denom": jnp.maximum(3.0 * s, 1.0) / (k * n)}
+        return {
+            "photo_denom": jnp.maximum(3.0 * s, 1.0) / (k * n),
+            "photo_denom_bg": jnp.maximum(3.0 * s_bg, 1.0) / (k * n),
+        }
 
     step_fn.returns_grads = True
     step_fn.prepare_shared = prepare_shared

@@ -172,9 +172,20 @@ class AutoEncoderSystem:
             denom = batch.get("photo_denom")
             if denom is None:  # unaccumulated call: the batch IS the whole batch
                 denom = jnp.maximum(jnp.sum(mask3), 1.0)
+            bg_l = float(cfg.bg_loss_lambda)
+            denom_bg = batch.get("photo_denom_bg")
+            if denom_bg is None:
+                denom_bg = jnp.maximum(jnp.sum(1.0 - mask3), 1.0)
 
             def masked_mse(pred):
-                return jnp.sum(((pred - batch["target"]) ** 2) * mask3) / denom
+                # reference objective (model_ae_art.py:380-387) plus the
+                # optional background-MSE term (Config.bg_loss_lambda) —
+                # background is otherwise supervised only by the BCE quirk
+                err2 = (pred - batch["target"]) ** 2
+                loss = jnp.sum(err2 * mask3) / denom
+                if bg_l != 0.0:
+                    loss = loss + bg_l * jnp.sum(err2 * (1.0 - mask3)) / denom_bg
+                return loss
 
             loss0 = masked_mse(out[0][0])
             loss1 = masked_mse(out[1][0])
@@ -196,12 +207,18 @@ class AutoEncoderSystem:
             pre-divided by (k microbatches x n chips) so the accumulator's
             1/k mean and the cross-chip pmean recompose it exactly."""
             k = 1 if batch["rays_o"].ndim == 2 else batch["rays_o"].shape[0]
-            s = 3.0 * jnp.sum(batch["instance_mask"].astype(jnp.float32))
+            m = batch["instance_mask"].astype(jnp.float32)
+            s = 3.0 * jnp.sum(m)
+            s_bg = 3.0 * jnp.sum(1.0 - m)
             n = 1
             if axis_name is not None:
                 s = jax.lax.psum(s, axis_name)
+                s_bg = jax.lax.psum(s_bg, axis_name)
                 n = jax.lax.axis_size(axis_name)
-            return {"photo_denom": jnp.maximum(s, 1.0) / (k * n)}
+            return {
+                "photo_denom": jnp.maximum(s, 1.0) / (k * n),
+                "photo_denom_bg": jnp.maximum(s_bg, 1.0) / (k * n),
+            }
 
         flax_or_v2_loss_fn.prepare_shared = _prepare_shared
 
@@ -217,6 +234,7 @@ class AutoEncoderSystem:
                 encode_fn, near, far, white_bkgd,
                 num_coarse=cfg.N_samples, num_fine=cfg.N_importance,
                 opacity_lambda=OPACITY_LAMBDA, lindisp=cfg.lindisp,
+                bg_lambda=float(cfg.bg_loss_lambda),
             )
         else:
             loss_fn = flax_or_v2_loss_fn

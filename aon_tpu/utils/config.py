@@ -89,6 +89,19 @@ class Config:
     # (exact reference sampling, sapien_multi.py:234-241).
     obj_ray_oversample: float = 0.0
 
+    # AE-only: weight of an auxiliary background photometric MSE (mean over
+    # background pixels vs the seg-masked GT background color).  The
+    # reference AE supervises background SOLELY through its opacity-BCE
+    # quirk — BCEWithLogits applied to acc in [0,1] (model_ae_art.py:646-663)
+    # — whose gradient floor sigmoid(acc) >= 0.5 is too weak to carve the
+    # in-box free space once AABB/occ interval tightening confines every
+    # sample to the object bounding box: the run collapses to a solid
+    # box-shaped blob (full-image PSNR 15.9 vs 29.4 untightened, round 4).
+    # 0 = off (exact reference objective, model_ae_art.py:380-387); the
+    # tightened production configs set 1.0, which restores the same direct
+    # background discipline the auto-decoder's unmasked MSE provides.
+    bg_loss_lambda: float = 0.0
+
     # data / batching
     batch_size: int = 2048  # rays per step (vanilla)
     ray_batch_size: int = 4096  # rays per step (articulated, sapien_multi)

@@ -283,3 +283,94 @@ def test_fused_ae_step_fn_grads_reach_encoder():
             float(jnp.abs(x).max()) > 0 for x in jax.tree.leaves(grads[sub])
         ), sub
     assert float(aux["opacity_loss"]) > 0
+
+
+def test_fused_ae_bg_lambda_microbatch_exact():
+    """bg_loss_lambda: the background-MSE term's whole-batch denominator
+    must survive k=2 microbatching with UNEQUAL per-microbatch background
+    counts (same guarantee the masked-MSE denominator already has), and
+    the term must actually change the objective/gradients."""
+    from aon_tpu.ops.train_fused_level_art import make_fused_ae_step_fn
+    from aon_tpu.train.microbatch import accumulated_grads
+
+    g = np.random.default_rng(7)
+    B = 32
+    d = g.normal(size=(B, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    # unequal halves: first microbatch 75% object, second 12.5%
+    mask = np.zeros(B, np.float32)
+    mask[:12] = 1.0
+    mask[16:18] = 1.0
+    batch = {
+        "rays_o": jnp.asarray(-4.0 * d),
+        "rays_d": jnp.asarray(d),
+        "viewdirs": jnp.asarray(d),
+        "target": jnp.asarray(g.uniform(size=(B, 3)).astype(np.float32)),
+        "ray_ids": jnp.arange(B),
+        "instance_mask": jnp.asarray(mask),
+        "src_imgs": jnp.asarray(g.normal(size=(1, 3, 8, 8)).astype(np.float32)),
+        "deg": jnp.asarray([0.5], dtype=jnp.float32),
+    }
+
+    def encode_fn(enc_params, src, deg):
+        f = jnp.mean(src)
+        latents = {
+            "density": enc_params["encoder"]["d"] * f,
+            "color": enc_params["encoder"]["c"] * f,
+            "articulation_deg": enc_params["deg_embedding"]["e"] + 0.0 * deg.sum(),
+        }
+        pred_state = jnp.sum(enc_params["joint_state"]["w"]) * f + deg * 0.9
+        return latents, pred_state
+
+    key = jax.random.PRNGKey(0)
+    mlp = ArticulatedNeRFMLP(use_deg_embedding=True)
+    latents0 = {
+        "density": jnp.zeros((1, 128)),
+        "color": jnp.zeros((1, 128)),
+        "articulation_deg": jnp.zeros((1, 32)),
+    }
+    samples = jnp.zeros((2, 4, 3))
+    venc = jnp.zeros((2, 27))
+    params = {
+        "model": {
+            "coarse_mlp": mlp.init(key, samples, venc, latents0)["params"],
+            "fine_mlp": mlp.init(jax.random.fold_in(key, 1), samples, venc, latents0)[
+                "params"
+            ],
+        },
+        "encoder": {
+            "d": jnp.asarray(g.normal(size=(1, 128)).astype(np.float32)) * 0.1,
+            "c": jnp.asarray(g.normal(size=(1, 128)).astype(np.float32)) * 0.1,
+        },
+        "joint_state": {"w": jnp.asarray(g.normal(size=(8,)).astype(np.float32)) * 0.1},
+        "deg_embedding": {
+            "e": jnp.asarray(g.normal(size=(1, 32)).astype(np.float32)) * 0.1
+        },
+    }
+
+    def run(bg_lambda, stacked):
+        fn = make_fused_ae_step_fn(
+            encode_fn, 2.0, 6.0, False, num_coarse=8, num_fine=8,
+            bg_lambda=bg_lambda,
+        )
+        b = batch
+        if stacked:
+            b = {
+                k: v.reshape((2, B // 2) + v.shape[1:])
+                if k in ("rays_o", "rays_d", "viewdirs", "target", "ray_ids",
+                         "instance_mask")
+                else v
+                for k, v in batch.items()
+            }
+        return accumulated_grads(fn, params, b, key)
+
+    loss_flat, _, grads_flat = run(1.0, stacked=False)
+    loss_mb, _, grads_mb = run(1.0, stacked=True)
+    # exact whole-batch objective under unequal-mask microbatching
+    np.testing.assert_allclose(float(loss_mb), float(loss_flat), rtol=2e-6)
+    for a, b in zip(jax.tree.leaves(grads_flat), jax.tree.leaves(grads_mb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-5, atol=1e-7)
+
+    # the term is live: bg_lambda=0 gives a different loss
+    loss_off, _, _ = run(0.0, stacked=False)
+    assert abs(float(loss_off) - float(loss_flat)) > 1e-4
