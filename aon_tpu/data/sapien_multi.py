@@ -308,9 +308,16 @@ class SapienDatasetMulti:
         sample["img_wh"] = np.array(self.img_wh)
         return sample
 
-    def test_frame(self, idx: int, seed: int = 0) -> Dict[str, np.ndarray]:
+    def test_frame(
+        self, idx: int, seed: int = 0, instance: Optional[int] = None
+    ) -> Dict[str, np.ndarray]:
         """Spheric-pose frame; articulation_id = idx indexes the
         interpolated latent table (reference :438-479).
+
+        ``instance`` overrides the seeded instance choice — used by
+        scripts/eval_per_instance.py to sweep every instance of an
+        N_max_objs>1 scene (the reference evaluates a single seeded
+        instance per sweep).
 
         GT source: when datagen wrote a ``test_spheric`` split (frame i
         rendered AT poses_test[i] with the joint at 5*i degrees), its image
@@ -321,6 +328,8 @@ class SapienDatasetMulti:
         pose-mismatched by construction."""
         g = np.random.default_rng(seed)
         val_idx = int(g.integers(0, len(self.ids)))
+        if instance is not None:
+            val_idx = int(instance)
         instance_dir = self.ids[val_idx]
         ts_dir = os.path.join(self.root_dir, instance_dir, "test_spheric")
         if os.path.isdir(ts_dir):

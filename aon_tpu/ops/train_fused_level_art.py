@@ -496,7 +496,12 @@ def make_fused_ae_step_fn(
             denom_bg = batch.get("photo_denom_bg")
             if denom_bg is None:
                 denom_bg = jnp.maximum(3.0 * jnp.sum(1.0 - mask), 1.0)
-            lw = lw + bg_lambda * (1.0 - mask) / denom_bg
+            # bg_scale: linear warmup ramp injected by trainer.fit
+            # (Config.bg_loss_warmup_steps) — full-strength bg MSE from step
+            # 0 extinguishes all density before the object establishes, and
+            # relu sigma never recovers
+            bg_scale = batch.get("bg_scale", 1.0)
+            lw = lw + (bg_lambda * bg_scale) * (1.0 - mask) / denom_bg
 
         def level(mlp_params, t_vals):
             packed = fold_latents(mlp_params, latents)

@@ -173,6 +173,7 @@ class AutoEncoderSystem:
             if denom is None:  # unaccumulated call: the batch IS the whole batch
                 denom = jnp.maximum(jnp.sum(mask3), 1.0)
             bg_l = float(cfg.bg_loss_lambda)
+            bg_scale = batch.get("bg_scale", 1.0)  # warmup ramp (trainer.fit)
             denom_bg = batch.get("photo_denom_bg")
             if denom_bg is None:
                 denom_bg = jnp.maximum(jnp.sum(1.0 - mask3), 1.0)
@@ -184,7 +185,9 @@ class AutoEncoderSystem:
                 err2 = (pred - batch["target"]) ** 2
                 loss = jnp.sum(err2 * mask3) / denom
                 if bg_l != 0.0:
-                    loss = loss + bg_l * jnp.sum(err2 * (1.0 - mask3)) / denom_bg
+                    loss = loss + bg_l * bg_scale * jnp.sum(
+                        err2 * (1.0 - mask3)
+                    ) / denom_bg
                 return loss
 
             loss0 = masked_mse(out[0][0])

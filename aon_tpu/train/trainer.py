@@ -205,16 +205,30 @@ class Trainer:
                     cfg.run_max_steps - self.global_step,
                 )
                 key = jax.random.fold_in(self.base_key, self.global_step)
+                # bg_loss warmup: per-step linear ramp of the AE background
+                # MSE weight (Config.bg_loss_warmup_steps) injected as a
+                # replicated shared scalar — same shape every dispatch, so
+                # no recompile
+                bg_warm = getattr(cfg, "bg_loss_warmup_steps", 0)
                 if t_now > 1:
                     from aon_tpu.parallel import stack_step_batches
 
                     batches = [next(it) for _ in range(t_now)]
+                    if bg_warm > 0:
+                        for j, b in enumerate(batches):
+                            b["bg_scale"] = np.float32(
+                                min(1.0, (self.global_step + j) / bg_warm)
+                            )
                     super_b = stack_step_batches(
                         batches, self.mesh, microbatch=cfg.microbatch_rays
                     )
                     self.state, metrics = self.system.train_many(self.state, super_b, key)
                 else:
                     batch = next(it)
+                    if bg_warm > 0:
+                        batch["bg_scale"] = np.float32(
+                            min(1.0, self.global_step / bg_warm)
+                        )
                     sharded = shard_ray_batch(
                         batch, self.mesh, microbatch=cfg.microbatch_rays
                     )

@@ -101,6 +101,15 @@ class Config:
     # tightened production configs set 1.0, which restores the same direct
     # background discipline the auto-decoder's unmasked MSE provides.
     bg_loss_lambda: float = 0.0
+    # Linear warmup (steps) for bg_loss_lambda: scale = min(1, step/warmup).
+    # Full-strength background MSE against a BLACK masked background from
+    # step 0 kills ALL density before the object establishes — and the AE's
+    # reference relu sigma makes that death permanent (zero gradient once
+    # raw sigma < 0 along every ray): observed as opacity BCE pinned at
+    # exactly log(2) (acc = 0) with psnr0 == psnr1.  Ramping the weight lets
+    # the object-masked MSE + BCE up-pressure claim the object region first;
+    # the bg term then carves free space it can no longer extinguish.
+    bg_loss_warmup_steps: int = 0
 
     # data / batching
     batch_size: int = 2048  # rays per step (vanilla)

@@ -374,3 +374,66 @@ def test_fused_ae_bg_lambda_microbatch_exact():
     # the term is live: bg_lambda=0 gives a different loss
     loss_off, _, _ = run(0.0, stacked=False)
     assert abs(float(loss_off) - float(loss_flat)) > 1e-4
+
+
+def test_fused_ae_bg_scale_ramp():
+    """bg_scale (the trainer's warmup ramp) linearly interpolates the bg
+    term: loss(scale s) == loss(0) + s * (loss(1) - loss(0))."""
+    from aon_tpu.ops.train_fused_level_art import make_fused_ae_step_fn
+
+    g = np.random.default_rng(11)
+    B = 16
+    d = g.normal(size=(B, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    base = {
+        "rays_o": jnp.asarray(-4.0 * d),
+        "rays_d": jnp.asarray(d),
+        "viewdirs": jnp.asarray(d),
+        "target": jnp.asarray(g.uniform(size=(B, 3)).astype(np.float32)),
+        "ray_ids": jnp.arange(B),
+        "instance_mask": jnp.asarray((g.uniform(size=(B,)) > 0.5).astype(np.float32)),
+        "src_imgs": jnp.asarray(g.normal(size=(1, 3, 8, 8)).astype(np.float32)),
+        "deg": jnp.asarray([0.3], dtype=jnp.float32),
+    }
+
+    def encode_fn(enc_params, src, deg):
+        f = jnp.mean(src)
+        return (
+            {
+                "density": enc_params["encoder"]["d"] * f,
+                "color": enc_params["encoder"]["c"] * f,
+                "articulation_deg": enc_params["deg_embedding"]["e"] + 0.0 * deg.sum(),
+            },
+            jnp.sum(enc_params["joint_state"]["w"]) * f + deg,
+        )
+
+    key = jax.random.PRNGKey(0)
+    mlp = ArticulatedNeRFMLP(use_deg_embedding=True)
+    latents0 = {
+        "density": jnp.zeros((1, 128)),
+        "color": jnp.zeros((1, 128)),
+        "articulation_deg": jnp.zeros((1, 32)),
+    }
+    params = {
+        "model": {
+            "coarse_mlp": mlp.init(key, jnp.zeros((2, 4, 3)), jnp.zeros((2, 27)), latents0)["params"],
+            "fine_mlp": mlp.init(jax.random.fold_in(key, 1), jnp.zeros((2, 4, 3)), jnp.zeros((2, 27)), latents0)["params"],
+        },
+        "encoder": {
+            "d": jnp.asarray(g.normal(size=(1, 128)).astype(np.float32)) * 0.1,
+            "c": jnp.asarray(g.normal(size=(1, 128)).astype(np.float32)) * 0.1,
+        },
+        "joint_state": {"w": jnp.asarray(g.normal(size=(8,)).astype(np.float32)) * 0.1},
+        "deg_embedding": {"e": jnp.asarray(g.normal(size=(1, 32)).astype(np.float32)) * 0.1},
+    }
+    fn = make_fused_ae_step_fn(
+        encode_fn, 2.0, 6.0, False, num_coarse=8, num_fine=8, bg_lambda=1.0
+    )
+    losses = {}
+    for s in (0.0, 0.5, 1.0):
+        loss, _, _ = fn(params, dict(base, bg_scale=jnp.float32(s)), key)
+        losses[s] = float(loss)
+    np.testing.assert_allclose(
+        losses[0.5], losses[0.0] + 0.5 * (losses[1.0] - losses[0.0]), rtol=1e-5
+    )
+    assert losses[1.0] > losses[0.0]
