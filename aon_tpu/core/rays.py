@@ -168,3 +168,31 @@ def ray_box_intersection(
     tnear = np.where(hit, tmin, 0.0)
     tfar = np.where(hit, tmax, 0.0)
     return hit, tnear, tfar
+
+
+def effective_intervals(batch, near, far):
+    """Per-ray sampling interval, with optional tightening anneal.
+
+    Returns ``(t_near, t_far)`` for a train batch: the AABB/occ-tightened
+    per-ray bounds when present (``use_aabb``/``use_occgrid``), else the
+    global scalars.  When the trainer additionally injects the shared scalar
+    ``interval_ramp`` (``Config.aabb_warmup_steps``), the tightened bounds
+    are lerped from the global ``[near, far]`` (ramp=0) to fully tightened
+    (ramp=1).
+
+    Why: tightening from step 0 traps the auto-encoder system in an opaque
+    box-shaped blob — every sample lands inside the scene AABB, the masked
+    MSE (reference model_ae_art.py:380-387) builds density that the
+    acc-as-logits opacity BCE (model_ae_art.py:646-663) can no longer melt,
+    because interior samples are transmittance-shadowed (dacc/dsigma_i ~ T_i
+    ~ 0 once the box saturates).  Starting at the global interval reproduces
+    the untightened run's fog-free establishment, then annealing
+    concentrates samples only after free space has been carved.
+    """
+    t_near = batch.get("t_near", near)
+    t_far = batch.get("t_far", far)
+    ramp = batch.get("interval_ramp")
+    if ramp is not None:
+        t_near = near + ramp * (t_near - near)
+        t_far = far + ramp * (t_far - far)
+    return t_near, t_far

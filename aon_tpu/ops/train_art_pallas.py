@@ -15,6 +15,7 @@ from typing import Callable, Dict
 import jax
 import jax.numpy as jnp
 
+from aon_tpu.core.rays import effective_intervals
 from aon_tpu.core import sampling
 from aon_tpu.core.rendering import img2mse, volumetric_rendering
 from aon_tpu.ops.resample_pallas import sample_pdf_fused
@@ -70,7 +71,7 @@ def fused_two_level_train(
 
     t_vals, samples = sampling.sample_along_rays(
         k0, rays["rays_o"], rays["rays_d"], num_coarse,
-        batch.get("t_near", near), batch.get("t_far", far),
+        *effective_intervals(batch, near, far),
         randomized=True, lindisp=lindisp, ray_ids=ray_ids,
     )
     comp0, acc0, weights, _ = level(model_params["coarse_mlp"], t_vals, samples)
@@ -122,7 +123,7 @@ def make_fused_autodecoder_loss_fn(
 
         t_vals, samples = sampling.sample_along_rays(
             k0, rays["rays_o"], rays["rays_d"], num_coarse,
-            batch.get("t_near", near), batch.get("t_far", far),
+            *effective_intervals(batch, near, far),
             randomized=True, lindisp=lindisp, ray_ids=ray_ids,
         )
         comp0, _, weights, _ = level(params["model"]["coarse_mlp"], latents, rays, t_vals, samples)

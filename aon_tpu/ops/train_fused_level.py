@@ -435,6 +435,7 @@ def make_fused_step_fn(
     stratified + Pallas resample kernel), matching the v2 path.
     """
     from aon_tpu.core import sampling
+    from aon_tpu.core.rays import effective_intervals
     from aon_tpu.ops.fused_mlp import make_posenc_constants
     from aon_tpu.ops.fused_mlp_train import pack_vanilla_mlp_params_f32
     from aon_tpu.ops.resample_pallas import sample_pdf_fused
@@ -452,8 +453,7 @@ def make_fused_step_fn(
         packed_f = pack_vanilla_mlp_params_f32(params["fine_mlp"])
 
         # AABB-tightened per-ray intervals when the batch carries them
-        near_r = batch.get("t_near", near)
-        far_r = batch.get("t_far", far)
+        near_r, far_r = effective_intervals(batch, near, far)
         t_vals, _ = sampling.sample_along_rays(
             k0, rays_o, rays_d, num_coarse, near_r, far_r,
             randomized=True, lindisp=lindisp, ray_ids=ray_ids,

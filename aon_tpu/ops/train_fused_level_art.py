@@ -35,6 +35,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from aon_tpu.core.rays import effective_intervals
 from aon_tpu.ops.fused_mlp import _interpret
 from aon_tpu.ops.fused_art import (
     _EFF_ORDER,
@@ -387,9 +388,10 @@ def make_fused_autodecoder_step_fn(
             dp, d_lat = _unfold_grads(g_eff, mlp_params, latents)
             return photo, wgt, dp, d_lat
 
+        t_near_eff, t_far_eff = effective_intervals(batch, near, far)
         t_vals, _ = sampling.sample_along_rays(
             k0, rays_o, rays_d, num_coarse,
-            batch.get("t_near", near), batch.get("t_far", far),
+            t_near_eff, t_far_eff,
             randomized=True, lindisp=lindisp, ray_ids=ray_ids,
         )
         loss0, wgt, dp_c, d_lat_c = level(params["model"]["coarse_mlp"], t_vals)
@@ -513,9 +515,10 @@ def make_fused_ae_step_fn(
             dp, d_lat = _unfold_grads(g_eff, mlp_params, latents)
             return photo, wgt, acc, dp, d_lat
 
+        t_near_eff, t_far_eff = effective_intervals(batch, near, far)
         t_vals, _ = sampling.sample_along_rays(
             k0, rays_o, rays_d, num_coarse,
-            batch.get("t_near", near), batch.get("t_far", far),
+            t_near_eff, t_far_eff,
             randomized=True, lindisp=lindisp, ray_ids=ray_ids,
         )
         loss0, wgt, acc0, dp_c, d_lat_c = level(params["model"]["coarse_mlp"], t_vals)

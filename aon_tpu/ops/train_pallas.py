@@ -19,6 +19,7 @@ from typing import Dict
 
 import jax
 
+from aon_tpu.core.rays import effective_intervals
 from aon_tpu.core import sampling
 from aon_tpu.core.rendering import img2mse, volumetric_rendering
 from aon_tpu.ops.fused_mlp import make_posenc_constants
@@ -71,7 +72,7 @@ def make_fused_loss_fn(
 
         t_vals, samples = sampling.sample_along_rays(
             k0, rays["rays_o"], rays["rays_d"], num_coarse,
-            batch.get("t_near", near), batch.get("t_far", far),
+            *effective_intervals(batch, near, far),
             randomized=randomized, lindisp=lindisp, ray_ids=ray_ids,
         )
         comp0, acc0, weights, _ = _level_train(

@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from aon_tpu.core.rays import effective_intervals
 from aon_tpu.core.rendering import mse2psnr
 from aon_tpu.models import ArticulatedNeRF, JointStateDecoder
 from aon_tpu.models.resnet import ImgEncoderMultiHeadArt
@@ -163,9 +164,10 @@ class AutoEncoderSystem:
                 )
                 out = [(c0, a0), (c1, a1)]
             else:
+                t_near_eff, t_far_eff = effective_intervals(batch, near, far)
                 out = model.apply(
                     {"params": params["model"]}, _rays_of(batch), latents, key, True,
-                    white_bkgd, batch.get("t_near", near), batch.get("t_far", far),
+                    white_bkgd, t_near_eff, t_far_eff,
                 )
             mask = batch["instance_mask"].reshape(-1, 1)  # (B, 1) float
             mask3 = jnp.broadcast_to(mask, batch["target"].shape)

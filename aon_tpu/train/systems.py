@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import optax
 from flax.training import train_state
 
+from aon_tpu.core.rays import effective_intervals
 from aon_tpu.core.rendering import img2mse, mse2psnr
 from aon_tpu.models import ArticulatedNeRF, CodeLibraryArticulated, VanillaNeRF
 from aon_tpu.train.microbatch import accumulated_grads, make_train_many
@@ -165,9 +166,10 @@ class VanillaSystem:
         cfg = self.cfg
 
         def flax_loss_fn(params, batch, key):
+            t_near_eff, t_far_eff = effective_intervals(batch, near, far)
             out = model.apply(
                 {"params": params}, _rays_of(batch), key, True, white_bkgd,
-                batch.get("t_near", near), batch.get("t_far", far),
+                t_near_eff, t_far_eff,
             )
             loss0 = img2mse(out[0][0], batch["target"])
             loss1 = img2mse(out[1][0], batch["target"])
@@ -331,9 +333,10 @@ class AutoDecoderSystem:
                 batch["instance_id"],
                 batch["articulation_id"],
             )
+            t_near_eff, t_far_eff = effective_intervals(batch, near, far)
             out = model.apply(
                 {"params": params["model"]}, _rays_of(batch), latents, key, True,
-                white_bkgd, batch.get("t_near", near), batch.get("t_far", far),
+                white_bkgd, t_near_eff, t_far_eff,
             )
             w = batch.get("loss_w")  # mean-1 importance weights or None
             if w is None:

@@ -210,25 +210,32 @@ class Trainer:
                 # replicated shared scalar — same shape every dispatch, so
                 # no recompile
                 bg_warm = getattr(cfg, "bg_loss_warmup_steps", 0)
+                # interval-tightening anneal (Config.aabb_warmup_steps):
+                # injected the same way; consumed by core/rays.py
+                # effective_intervals in every train path
+                aabb_warm = getattr(cfg, "aabb_warmup_steps", 0)
+
+                def _inject_ramps(b, step):
+                    if bg_warm > 0:
+                        b["bg_scale"] = np.float32(min(1.0, step / bg_warm))
+                    if aabb_warm > 0:
+                        b["interval_ramp"] = np.float32(
+                            min(1.0, step / aabb_warm)
+                        )
+
                 if t_now > 1:
                     from aon_tpu.parallel import stack_step_batches
 
                     batches = [next(it) for _ in range(t_now)]
-                    if bg_warm > 0:
-                        for j, b in enumerate(batches):
-                            b["bg_scale"] = np.float32(
-                                min(1.0, (self.global_step + j) / bg_warm)
-                            )
+                    for j, b in enumerate(batches):
+                        _inject_ramps(b, self.global_step + j)
                     super_b = stack_step_batches(
                         batches, self.mesh, microbatch=cfg.microbatch_rays
                     )
                     self.state, metrics = self.system.train_many(self.state, super_b, key)
                 else:
                     batch = next(it)
-                    if bg_warm > 0:
-                        batch["bg_scale"] = np.float32(
-                            min(1.0, self.global_step / bg_warm)
-                        )
+                    _inject_ramps(batch, self.global_step)
                     sharded = shard_ray_batch(
                         batch, self.mesh, microbatch=cfg.microbatch_rays
                     )

@@ -110,6 +110,16 @@ class Config:
     # the object-masked MSE + BCE up-pressure claim the object region first;
     # the bg term then carves free space it can no longer extinguish.
     bg_loss_warmup_steps: int = 0
+    # Linear anneal (steps) of AABB/occ interval tightening: the per-ray
+    # [t_near, t_far] is lerped from the global [near, far] at step 0 to the
+    # fully tightened bounds at step aabb_warmup_steps (core/rays.py
+    # effective_intervals).  Needed by the auto-encoder system: tightening
+    # from step 0 concentrates every sample inside the scene box, the masked
+    # MSE builds an opaque box-shaped blob, and the acc-as-logits BCE cannot
+    # melt it (interior samples are transmittance-shadowed).  Annealing
+    # reproduces the untightened run's fog-free establishment first.
+    # 0 = off (tighten fully from step 0, fine for vanilla/auto-decoder).
+    aabb_warmup_steps: int = 0
 
     # data / batching
     batch_size: int = 2048  # rays per step (vanilla)

@@ -217,3 +217,33 @@ def test_vanilla_train_step_with_aabb(fixture_single, eight_devices):
     assert np.isfinite(out["comp_rgb"]).all()
     # miss rays ARE the background
     assert (out["comp_rgb"][~frame["hit"]] == 1.0).all()
+
+
+def test_effective_intervals_anneal():
+    """interval_ramp lerps tightened bounds from global (0) to tight (1)."""
+    import numpy as np
+
+    from aon_tpu.core.rays import effective_intervals
+
+    tn = np.array([3.0, 2.5], np.float32)
+    tf = np.array([4.0, 5.5], np.float32)
+    # no tightened bounds in the batch: globals pass through untouched
+    assert effective_intervals({}, 2.0, 6.0) == (2.0, 6.0)
+    assert effective_intervals({"interval_ramp": np.float32(0.3)}, 2.0, 6.0) == (2.0, 6.0)
+    # no ramp: tightened bounds pass through
+    got = effective_intervals({"t_near": tn, "t_far": tf}, 2.0, 6.0)
+    np.testing.assert_array_equal(got[0], tn)
+    np.testing.assert_array_equal(got[1], tf)
+    # ramp endpoints and midpoint
+    b = {"t_near": tn, "t_far": tf, "interval_ramp": np.float32(0.0)}
+    got = effective_intervals(b, 2.0, 6.0)
+    np.testing.assert_allclose(got[0], [2.0, 2.0])
+    np.testing.assert_allclose(got[1], [6.0, 6.0])
+    b["interval_ramp"] = np.float32(1.0)
+    got = effective_intervals(b, 2.0, 6.0)
+    np.testing.assert_allclose(got[0], tn)
+    np.testing.assert_allclose(got[1], tf)
+    b["interval_ramp"] = np.float32(0.5)
+    got = effective_intervals(b, 2.0, 6.0)
+    np.testing.assert_allclose(got[0], [2.5, 2.25])
+    np.testing.assert_allclose(got[1], [5.0, 5.75])

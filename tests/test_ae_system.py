@@ -125,3 +125,51 @@ def test_ae_validate_logs_state_metrics(tmp_path):
     assert val_recs, "val/state_error_rad never logged"
     assert "val/abs_state_error_deg" in val_recs[-1]
     assert np.isfinite(val_recs[-1]["val/state_error_rad"])
+
+
+@pytest.mark.slow
+def test_ae_interval_anneal_endpoints(eight_devices):
+    """interval_ramp=0 bit-matches the untightened step; ramp=1 bit-matches
+    the fully tightened step (core/rays.py effective_intervals)."""
+    from aon_tpu.parallel import get_mesh, shard_ray_batch
+    from aon_tpu.train.system_ae import AutoEncoderSystem
+    from aon_tpu.utils.config import Config
+
+    cfg = Config(
+        N_samples=4, N_importance=4, compute_dtype="float32", img_wh=[32, 24]
+    )
+    mesh = get_mesh(1)
+    system = AutoEncoderSystem(cfg, 2.0, 6.0, False)
+
+    g = np.random.default_rng(3)
+    B = 32
+    d = g.normal(size=(B, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    host = {
+        "rays_o": (-4 * d).astype(np.float32),
+        "rays_d": d,
+        "viewdirs": d,
+        "target": g.uniform(size=(B, 3)).astype(np.float32),
+        "instance_mask": (g.uniform(size=(B, 1)) > 0.5).astype(np.float32),
+        "src_imgs": g.normal(size=(3, 24, 32)).astype(np.float32),
+        "deg": np.float32(np.deg2rad(40.0)),
+    }
+    tight = {
+        "t_near": g.uniform(2.2, 3.0, size=(B,)).astype(np.float32),
+        "t_far": g.uniform(3.5, 5.0, size=(B,)).astype(np.float32),
+    }
+    key = jax.random.PRNGKey(7)
+
+    def step_loss(extra):
+        state = system.init_state(jax.random.PRNGKey(0))
+        batch = shard_ray_batch(dict(host, **extra), mesh)
+        _, m = system.train_step(state, batch, key)
+        return float(m["train/loss"])
+
+    loss_wide = step_loss({})
+    loss_tight = step_loss(tight)
+    loss_r0 = step_loss(dict(tight, interval_ramp=np.float32(0.0)))
+    loss_r1 = step_loss(dict(tight, interval_ramp=np.float32(1.0)))
+    assert loss_wide != loss_tight  # tightening must actually change sampling
+    np.testing.assert_allclose(loss_r0, loss_wide, rtol=1e-6)
+    np.testing.assert_allclose(loss_r1, loss_tight, rtol=1e-6)
