@@ -427,6 +427,8 @@ def make_fused_ae_step_fn(
     opacity_lambda: float = 0.5,
     lindisp: bool = False,
     bg_lambda: float = 0.0,
+    sigma_act: str = "relu",
+    density_bias: float = 0.0,
 ):
     """v3 auto-encoder step: ``fn(params, batch, key) -> (loss, aux, grads)``.
 
@@ -509,8 +511,9 @@ def make_fused_ae_step_fn(
             packed = fold_latents(mlp_params, latents)
             photo, wgt, acc, g_eff = fused_level_train_art_grads(
                 packed, enc_consts, t_vals, rays_o, rays_d, viewdirs, target,
-                lw, mask, white_bkgd, rgb_padding=0.0, density_bias=0.0,
-                bce_weight=float(opacity_lambda), sigma_act="relu",
+                lw, mask, white_bkgd, rgb_padding=0.0,
+                density_bias=float(density_bias),
+                bce_weight=float(opacity_lambda), sigma_act=sigma_act,
             )
             dp, d_lat = _unfold_grads(g_eff, mlp_params, latents)
             return photo, wgt, acc, dp, d_lat

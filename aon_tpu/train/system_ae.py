@@ -64,6 +64,12 @@ class AutoEncoderSystem:
         self.cfg = cfg
         self.mesh = mesh
         self.near, self.far, self.white_bkgd = float(near), float(far), bool(white_bkgd)
+        # sigma activation: reference relu, or the fast-path softplus escape
+        # (Config.ae_sigma_activation; see config.py for the BCE level-death
+        # analysis).  density_bias -1.0 under softplus matches the
+        # reference's auto-decoder contract (model_autodecoder.py:265-267).
+        self.sigma_act = getattr(cfg, "ae_sigma_activation", "relu")
+        self.density_bias = -1.0 if self.sigma_act == "softplus_bias" else 0.0
         self.model = ArticulatedNeRF(
             num_coarse_samples=cfg.N_samples,
             num_fine_samples=cfg.N_importance,
@@ -72,7 +78,8 @@ class AutoEncoderSystem:
             deg_view=cfg.N_emb_dir,
             noise_std=cfg.noise_std,
             lindisp=cfg.lindisp,
-            sigma_activation="relu",
+            sigma_activation=self.sigma_act,
+            density_bias=self.density_bias,
             rgb_padding=0.0,
             use_deg_embedding=True,
             dtype=_dtype(cfg),
@@ -159,8 +166,8 @@ class AutoEncoderSystem:
                 (c0, a0), (c1, a1) = fused_two_level_train(
                     params["model"], latents, batch, key, near, far, white_bkgd,
                     cfg.N_samples, cfg.N_importance,
-                    sigma_activation="relu", rgb_padding=0.0, density_bias=0.0,
-                    lindisp=cfg.lindisp,
+                    sigma_activation=self.sigma_act, rgb_padding=0.0,
+                    density_bias=self.density_bias, lindisp=cfg.lindisp,
                 )
                 out = [(c0, a0), (c1, a1)]
             else:
@@ -240,6 +247,7 @@ class AutoEncoderSystem:
                 num_coarse=cfg.N_samples, num_fine=cfg.N_importance,
                 opacity_lambda=OPACITY_LAMBDA, lindisp=cfg.lindisp,
                 bg_lambda=float(cfg.bg_loss_lambda),
+                sigma_act=self.sigma_act, density_bias=self.density_bias,
             )
         else:
             loss_fn = flax_or_v2_loss_fn
@@ -293,8 +301,12 @@ class AutoEncoderSystem:
                     raw_rgb, raw_sigma = fused_art_mlp_eval(
                         mlp_params, latents, samples, rays["viewdirs"]
                     )
+                    if self.sigma_act == "softplus_bias":
+                        sigma = jax.nn.softplus(raw_sigma + self.density_bias)
+                    else:
+                        sigma = jax.nn.relu(raw_sigma)
                     return volumetric_rendering(
-                        jax.nn.sigmoid(raw_rgb), jax.nn.relu(raw_sigma),
+                        jax.nn.sigmoid(raw_rgb), sigma,
                         t_vals, rays["rays_d"], white_bkgd=white_bkgd,
                     )
 

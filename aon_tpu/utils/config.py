@@ -120,6 +120,20 @@ class Config:
     # reproduces the untightened run's fog-free establishment first.
     # 0 = off (tighten fully from step 0, fine for vanilla/auto-decoder).
     aabb_warmup_steps: int = 0
+    # AE sigma activation: "relu" (exact reference contract,
+    # model_ae_art.py:232-233) or "softplus_bias" (softplus(raw - 1), the
+    # reference's own choice for its auto-decoder variant,
+    # model_autodecoder.py:265-267).  The fast-path (tightened-interval,
+    # 24+48-sample) configs need softplus: under the reference's
+    # acc-as-logits opacity BCE the background down-pressure has a gradient
+    # floor of sigmoid(acc) >= 0.5 even at acc == 0, and at low sample
+    # counts a whole level's relu sigma gets slammed to exact zero around
+    # the LR-warmup peak (observed at step ~1.4-1.6k in every 24+48 run:
+    # coarse died in laptop_ae_aabb24_nobg_failed, fine died in the annealed
+    # run) — irrecoverably, since dead relu has zero gradient.  softplus
+    # keeps the revival gradient alive; BCE still drives acc arbitrarily
+    # close to 0.
+    ae_sigma_activation: str = "relu"
 
     # data / batching
     batch_size: int = 2048  # rays per step (vanilla)

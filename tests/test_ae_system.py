@@ -173,3 +173,50 @@ def test_ae_interval_anneal_endpoints(eight_devices):
     assert loss_wide != loss_tight  # tightening must actually change sampling
     np.testing.assert_allclose(loss_r0, loss_wide, rtol=1e-6)
     np.testing.assert_allclose(loss_r1, loss_tight, rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_ae_softplus_sigma_option(eight_devices):
+    """ae_sigma_activation="softplus_bias" (the fast-path level-death escape,
+    Config docstring) trains and renders finitely; default stays relu."""
+    from aon_tpu.parallel import get_mesh, shard_ray_batch
+    from aon_tpu.train.system_ae import AutoEncoderSystem
+    from aon_tpu.utils.config import Config
+
+    cfg = Config(
+        N_samples=4, N_importance=4, compute_dtype="float32", img_wh=[32, 24],
+        ae_sigma_activation="softplus_bias",
+    )
+    mesh = get_mesh(1)
+    system = AutoEncoderSystem(cfg, 2.0, 6.0, False)
+    assert system.sigma_act == "softplus_bias" and system.density_bias == -1.0
+    assert (
+        AutoEncoderSystem(Config(N_samples=4, N_importance=4), 2.0, 6.0, False).sigma_act
+        == "relu"
+    )
+    state = system.init_state(jax.random.PRNGKey(0))
+    g = np.random.default_rng(5)
+    B = 32
+    d = g.normal(size=(B, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    host = {
+        "rays_o": (-4 * d).astype(np.float32),
+        "rays_d": d,
+        "viewdirs": d,
+        "target": g.uniform(size=(B, 3)).astype(np.float32),
+        "instance_mask": (g.uniform(size=(B, 1)) > 0.5).astype(np.float32),
+        "src_imgs": g.normal(size=(3, 24, 32)).astype(np.float32),
+        "deg": np.float32(np.deg2rad(40.0)),
+    }
+    batch = shard_ray_batch(host, mesh)
+    state, m = system.train_step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["train/loss"]))
+    # softplus sigma floor: a fresh-init model must already have nonzero acc
+    # (relu at init can be exactly dead; softplus(raw - 1) cannot)
+    out = system.render_chunk(
+        state.params,
+        {k: jnp.asarray(host[k]) for k in ("rays_o", "rays_d", "viewdirs")},
+        jnp.asarray(host["src_imgs"])[None],
+        jnp.asarray(host["deg"]),
+    )
+    assert float(jnp.max(out["acc"])) > 0.0
