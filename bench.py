@@ -194,14 +194,15 @@ def main() -> None:
     #   autodecoder — 24+48 AABB, gated by the laptop_autodec_24k_aabb24 run
     #     (val 30.21 / test 32.29 BEATS the 64+128 row's 29.37 / 31.93 at the
     #     same 24k-step budget; ckpts/laptop_autodec_24k_aabb24/results.json).
-    #   ae — gated by configs/quality_laptop_ae_aabb24.json once its run
-    #     lands; until then the committed evidence (quality_laptop_ae.json)
-    #     is the untightened 64+128 contract, so measure THAT.
+    #   ae — 24+48 AABB, gated by the laptop_ae_aabb24 run (val 29.64 /
+    #     test 30.80 / obj 19.25 BEATS the 64+128 row's 29.42 val at the
+    #     same 24k-step budget, via aabb_warmup_steps interval anneal +
+    #     softplus-bias sigma; ckpts/laptop_ae_aabb24/results.json).
     ad_args = argparse.Namespace(**vars(args))
     ae_args = argparse.Namespace(**vars(args))
     if not args.reference_contract:
         ad_args.N_samples, ad_args.N_importance, ad_args.tight = 24, 48, "aabb"
-        ae_args.N_samples, ae_args.N_importance, ae_args.tight = 64, 128, False
+        ae_args.N_samples, ae_args.N_importance, ae_args.tight = 24, 48, "aabb"
     for name, fn, a in (("autodecoder", bench_autodecoder, ad_args),
                         ("ae", bench_ae, ae_args)):
         try:
