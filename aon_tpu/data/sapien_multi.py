@@ -95,6 +95,7 @@ class SapienDatasetMulti:
         # tuples constantly and PNG decode + ray gen dominate host time
         self._frame_cache = {}
         self._frame_cache_cap = int(os.environ.get("AON_FRAME_CACHE", "512"))
+        self._frame_counts: Dict[tuple, int] = {}
         w, h = self.img_wh
         if eval_inference is not None:
             self.image_sizes = np.array([[h, w] for _ in range(N_TEST_FRAMES)])
@@ -126,7 +127,20 @@ class SapienDatasetMulti:
         return out
 
     def _read_frame_cached(self, instance_id: str, degree_dir: str, image_id: int):
-        key = (instance_id, degree_dir, image_id)
+        # Cache on the WRAPPED file index: the reference draws image_id in
+        # [0, 59) regardless of the actual file count and _read_frame wraps
+        # with ``image_id % len(files)``, so raw ids alias ~4x more cache keys
+        # than there are frames.  With the raw key the cache overflowed its
+        # cap and every overflow draw re-ran the occ-grid interval march
+        # (~1 s/frame of host time) — the 27k rays/s bound on occ articulated
+        # runs vs 130k+ once every distinct frame fits.
+        ckey = (instance_id, degree_dir)
+        n = self._frame_counts.get(ckey)
+        if n is None:
+            n = len(os.listdir(
+                os.path.join(self.root_dir, instance_id, "train", degree_dir, "rgb")))
+            self._frame_counts[ckey] = n
+        key = (instance_id, degree_dir, image_id % n)
         hit = self._frame_cache.get(key)
         if hit is not None:
             return hit

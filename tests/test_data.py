@@ -1,5 +1,6 @@
 """Dataset tests on a synthesized mini SAPIEN-layout tree (SURVEY.md §4)."""
 
+import os
 import subprocess
 import sys
 from pathlib import Path
@@ -122,3 +123,29 @@ def test_sapien_multi_val_and_test_frames(fixture_multi):
     t = ds_test.test_frame(3)
     assert int(t["articulation_id"]) == 3
     assert t["rays_o"].shape == (64 * 48, 3)
+
+
+def test_sapien_multi_frame_cache_key_wraps(fixture_multi):
+    """Cache keys must use the WRAPPED file index: the reference draws
+    image_id in [0, 59) while _read_frame wraps with image_id % len(files).
+    Raw-id keys alias ~4x more entries than there are frames, overflow the
+    cap, and re-run the (expensive, occ-grid) interval march on most draws."""
+    from aon_tpu.data import SapienDatasetMulti
+
+    ds = SapienDatasetMulti(
+        str(fixture_multi), split="train", img_wh=(64, 48), white_back=True,
+        ray_batch_size=512,
+    )
+    inst = ds.ids[0]
+    deg = ds._degree_dirs(inst)[0]
+    n = len(os.listdir(os.path.join(str(fixture_multi), inst, "train", deg, "rgb")))
+    ds._read_frame_cached(inst, deg, 0)
+    assert len(ds._frame_cache) == 1
+    f_wrapped = ds._read_frame_cached(inst, deg, n)  # same file as id 0
+    assert len(ds._frame_cache) == 1  # hit, no new entry
+    f0 = ds._frame_cache[(inst, deg, 0)]
+    assert f_wrapped is f0
+    # a genuinely different image adds exactly one entry
+    if n > 1:
+        ds._read_frame_cached(inst, deg, 1)
+        assert len(ds._frame_cache) == 2
