@@ -32,7 +32,7 @@ from aon_tpu.train.systems import VanillaSystem
 from aon_tpu.utils.config import Config, get_config
 
 
-def bench_reference_contract() -> None:
+def bench_reference_contract(chunks=(30720, 61440, 153600, 307200)) -> None:
     w, h = 640, 480
     mesh = get_mesh()
     cfg = Config(compute_dtype="bfloat16")
@@ -50,7 +50,7 @@ def bench_reference_contract() -> None:
 
     import jax.numpy as jnp
 
-    for chunk in (30720, 61440):
+    for chunk in chunks:
         rays = {k: jnp.asarray(v) for k, v in frame.items()}
         n = w * h
 
@@ -137,6 +137,9 @@ def bench_production(cfg: Config) -> None:
 def main() -> None:
     if any(a.startswith("--config") for a in sys.argv[1:]):
         bench_production(get_config())
+    elif any(a.startswith("--chunks") for a in sys.argv[1:]):
+        i = sys.argv.index("--chunks")
+        bench_reference_contract(tuple(int(c) for c in sys.argv[i + 1].split(",")))
     else:
         bench_reference_contract()
 
