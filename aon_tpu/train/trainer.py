@@ -37,6 +37,43 @@ from aon_tpu.utils.config import Config
 from aon_tpu.utils.viz import val_grid
 
 
+class TrainingCollapsed(RuntimeError):
+    """The model has collapsed to a constant render; resuming is useless."""
+
+
+class CollapseSentinel:
+    """Abort hopeless runs instead of burning hours of unattended TPU time.
+
+    A collapsed NeRF (e.g. density melted to empty by the opacity-BCE
+    pressure under AABB interval tightening — see BASELINE.md, AE rows)
+    renders pure background on the seed-fixed val frames, so the
+    full-precision val/psnr mean repeats BIT-IDENTICALLY epoch after epoch;
+    a healthy run never repeats it even once.  ``limit`` consecutive equal
+    values raise :class:`TrainingCollapsed` — deliberately NOT the watchdog
+    exit 17: scripts/train_resilient.py must not relaunch, because resume
+    would restore the same dead basin from last.ckpt.
+    """
+
+    def __init__(self, limit: int):
+        self.limit = int(limit)
+        self._prev: Optional[float] = None
+        self._run = 1  # length of the current equal-value run
+
+    def update(self, val_psnr: float, step: int) -> None:
+        if self.limit <= 0:
+            return
+        self._run = self._run + 1 if val_psnr == self._prev else 1
+        self._prev = val_psnr
+        if self._run >= self.limit:
+            raise TrainingCollapsed(
+                f"val/psnr bit-identical ({val_psnr:.6f} dB) for {self._run} "
+                f"consecutive val epochs (through step {step}): the model has "
+                "collapsed to a constant render. Aborting — do NOT resume "
+                "from last.ckpt; restart with a gentler interval anneal "
+                "(aabb_warmup_steps) or wider intervals."
+            )
+
+
 class Trainer:
     def __init__(self, cfg: Config):
         self.cfg = cfg
@@ -176,6 +213,7 @@ class Trainer:
 
         self._beat()
         self._start_watchdog()  # no-op if armed at __init__; cheap insurance
+        sentinel = CollapseSentinel(cfg.collapse_abort_vals)
         it = self._train_iterator()
         steps_per_epoch = self._steps_per_epoch()
         rays_per_step = (
@@ -274,6 +312,9 @@ class Trainer:
 
             if (epoch + 1) % cfg.check_val_every_n_epoch == 0:
                 val_psnr = self.validate(epoch)
+                # sentinel BEFORE save_last: never overwrite a live
+                # checkpoint with the collapsed state it would resume into
+                sentinel.update(val_psnr, self.global_step)
                 self.ckpt.save_last(self.state, epoch)
                 if (epoch + 1) % ckpt_every == 0:
                     self.ckpt.save_ranked(self.state, epoch, val_psnr)

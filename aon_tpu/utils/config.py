@@ -190,6 +190,15 @@ class Config:
     # (scripts/train_resilient.py) can relaunch with --ckpt_path last.ckpt.
     # Must exceed the worst single compile+dispatch (~5 min cold).
     watchdog_timeout: float = 0.0
+    # Collapse sentinel: abort (TrainingCollapsed, a REAL failure — not the
+    # resumable watchdog exit 17) when val/psnr is bit-identical for this
+    # many consecutive val epochs.  A collapsed model (density melted to
+    # empty by the opacity-BCE pressure under interval tightening) renders
+    # pure background, so the full-precision val mean repeats EXACTLY; a
+    # healthy run never does.  Caught live in round 4: laptop_ae_aabb24_100k
+    # froze at 20.491 dB from step 3000 and burned 70 TPU-minutes before a
+    # human noticed.  0 disables.
+    collapse_abort_vals: int = 6
 
     # logging / checkpointing
     log_every_n_steps: int = 50

@@ -347,3 +347,34 @@ def test_resume_stream_not_replayed(tmp_path):
     tr.global_step = 0
     again = next(tr._train_iterator())
     np.testing.assert_array_equal(b0["rays_o"], again["rays_o"])
+
+
+def test_collapse_sentinel_trips_on_frozen_val():
+    """Bit-identical val/psnr for N consecutive val epochs must abort the run
+    (round-4 incident: laptop_ae_aabb24_100k collapsed to an empty render at
+    step ~3000, val frozen at 20.491 dB, and burned 70 TPU-minutes)."""
+    import pytest
+
+    from aon_tpu.train.trainer import CollapseSentinel, TrainingCollapsed
+
+    s = CollapseSentinel(limit=4)
+    for v in [17.8, 20.491, 20.491, 20.491]:  # only a run of 3 equals
+        s.update(v, step=0)
+    with pytest.raises(TrainingCollapsed, match="bit-identical"):
+        s.update(20.491, step=6000)  # 4th consecutive equal value
+
+
+def test_collapse_sentinel_ignores_healthy_and_disabled():
+    from aon_tpu.train.trainer import CollapseSentinel
+
+    s = CollapseSentinel(limit=4)
+    for v in [17.887, 18.496, 16.838, 17.39, 17.786, 16.436]:  # real 24k run
+        s.update(v, step=0)
+    # near-equal but not bit-identical values never count as repeats
+    s2 = CollapseSentinel(limit=2)
+    for v in [20.4910001, 20.4910002, 20.4910003]:
+        s2.update(v, step=0)
+    # limit=0 disables entirely, even on a truly frozen stream
+    s3 = CollapseSentinel(limit=0)
+    for _ in range(64):
+        s3.update(20.491, step=0)
