@@ -212,6 +212,34 @@ class Config:
     save_top_k: int = 5
     ckpt_every_n_epochs: int = 10
 
+    def __post_init__(self):
+        # Encode the round-4 collapse hazard (ROADMAP "Quality" item 5) as a
+        # loud warning, not tribal knowledge: the AE system is only stable
+        # under AABB/occ interval tightening when the anneal spans a fixed
+        # FRACTION of the schedule.  The proven gate run used
+        # aabb_warmup_steps/run_max_steps = 8000/24000 = 1/3; the same
+        # absolute 8000-step warmup on the 100k schedule collapsed the model
+        # to an empty render by step 3000 (lr stays near max ~4x longer).
+        if (
+            self.exp_type == "vanilla_ae_art"
+            and (self.use_aabb or self.use_occgrid)
+            and not self.run_eval
+            and self.aabb_warmup_steps < 0.25 * self.run_max_steps
+        ):
+            import warnings
+
+            warnings.warn(
+                f"vanilla_ae_art with interval tightening and "
+                f"aabb_warmup_steps={self.aabb_warmup_steps} < 25% of "
+                f"run_max_steps={self.run_max_steps}: the interval anneal "
+                "must scale with the schedule or the opacity-BCE melts the "
+                "model to an absorbing empty render (observed at 8000/100000;"
+                " the proven ratio is 1/3). The collapse sentinel "
+                "(collapse_abort_vals) will abort such a run, but set "
+                "aabb_warmup_steps ~ run_max_steps/3 to avoid it.",
+                stacklevel=2,
+            )
+
     def effective_num_devices(self) -> int:
         import jax
 

@@ -53,3 +53,30 @@ def test_unknown_json_keys_ignored_with_warning(tmp_path, capsys):
     cfg = get_config(["--config", str(p)])
     assert cfg.exp_name == "ok"
     assert "ignoring unknown" in capsys.readouterr().err
+
+
+def test_ae_tightening_anneal_hazard_warning():
+    """The AE + interval-tightening collapse hazard (ROADMAP item 5) must
+    warn at config time when the anneal does not scale with the schedule."""
+    import warnings
+
+    from aon_tpu.utils.config import Config
+
+    hazard = dict(exp_type="vanilla_ae_art", use_aabb=True,
+                  run_max_steps=100000, aabb_warmup_steps=8000)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        Config(**hazard)
+    assert any("aabb_warmup_steps" in str(x.message) for x in w)
+
+    # the proven 1/3 ratio, eval mode, and untightened runs stay silent
+    for ok in (
+        dict(hazard, aabb_warmup_steps=33000),
+        dict(hazard, run_eval=True),
+        dict(hazard, use_aabb=False),
+        dict(exp_type="vanilla_autodecoder", use_aabb=True),
+    ):
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            Config(**ok)
+        assert not [x for x in w if "aabb_warmup_steps" in str(x.message)], ok
