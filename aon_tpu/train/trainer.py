@@ -102,6 +102,9 @@ class Trainer:
                 samples_per_epoch=cfg.samples_per_epoch,
                 ray_batch_size=cfg.ray_batch_size,
                 obj_ray_oversample=cfg.obj_ray_oversample,
+                # only the AE encoder consumes src_imgs; skipping it for the
+                # auto-decoder saves a per-batch full-frame host copy + H2D
+                need_src_imgs=cfg.exp_type == "vanilla_ae_art",
             )
         if cfg.run_eval:
             self.test_dataset = ds_cls(

@@ -141,7 +141,7 @@ def test_sapien_multi_frame_cache_key_wraps(fixture_multi):
     n = len(os.listdir(os.path.join(str(fixture_multi), inst, "train", deg, "rgb")))
     ds._read_frame_cached(inst, deg, 0)
     assert len(ds._frame_cache) == 1
-    f_wrapped = ds._read_frame_cached(inst, deg, n)  # same file as id 0
+    _, f_wrapped = ds._read_frame_cached(inst, deg, n)  # same file as id 0
     assert len(ds._frame_cache) == 1  # hit, no new entry
     f0 = ds._frame_cache[(inst, deg, 0)]
     assert f_wrapped is f0
@@ -149,3 +149,39 @@ def test_sapien_multi_frame_cache_key_wraps(fixture_multi):
     if n > 1:
         ds._read_frame_cached(inst, deg, 1)
         assert len(ds._frame_cache) == 2
+
+
+def test_train_derived_cache_and_need_src_imgs(fixture_multi):
+    """Per-frame derived arrays (f32 rgbs/src/mask, hit index) are computed
+    once per frame, not per 4096-ray batch (the per-batch recompute was the
+    AE real-run host bound — BASELINE.md round 3), and src_imgs is only
+    built when the system consumes it (AE; reference model_ae_art.py:361)."""
+    from aon_tpu.data import SapienDatasetMulti
+
+    ds = SapienDatasetMulti(
+        str(fixture_multi), split="train", img_wh=(64, 48), white_back=True,
+        ray_batch_size=128, need_src_imgs=False,
+    )
+    it = ds.train_batches(seed=0)
+    b = next(it)
+    assert "src_imgs" not in b
+    assert len(ds._derived_cache) == len(ds._frame_cache) == 1
+    for _ in range(20):
+        b = next(it)
+        assert "src_imgs" not in b
+    # derived entries track frames, not batches
+    assert len(ds._derived_cache) == len(ds._frame_cache) <= 21
+
+    ds_ae = SapienDatasetMulti(
+        str(fixture_multi), split="train", img_wh=(64, 48), white_back=True,
+        ray_batch_size=128, need_src_imgs=True,
+    )
+    it_ae = ds_ae.train_batches(seed=0)
+    b1, b2 = next(it_ae), next(it_ae)
+    assert b1["src_imgs"].shape == (3, 48, 64)
+    # same frame drawn twice yields the SAME cached src array (no recompute)
+    key = next(iter(ds_ae._derived_cache))
+    assert ds_ae._derived_cache[key]["src"] is not None
+    # val path keeps src for the AE and its grid metadata intact
+    v = ds_ae.val_frame(seed=0)
+    assert v["src_imgs"].shape == (3, 48, 64)
