@@ -110,7 +110,11 @@ def default_nerf_optimizer(cfg) -> optax.GradientTransformation:
     return optax.adam(
         nerf_lr_schedule(
             cfg.lr_init, cfg.lr_final, cfg.lr_delay_steps, cfg.lr_delay_mult,
-            cfg.run_max_steps,
+            # lr_max_steps decouples the decay horizon from run_max_steps
+            # (0 = coupled, the reference's behavior); past the horizon the
+            # schedule floors at lr_final (t clipped at 1).  See
+            # utils/config.py lr_max_steps for the AE-100k rationale.
+            getattr(cfg, "lr_max_steps", 0) or cfg.run_max_steps,
         ),
         b1=0.9,
         b2=0.999,

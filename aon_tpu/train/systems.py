@@ -57,7 +57,11 @@ def make_optimizer(cfg: Config):
     flags but never wires them).
     """
     nerf_sched = nerf_lr_schedule(
-        cfg.lr_init, cfg.lr_final, cfg.lr_delay_steps, cfg.lr_delay_mult, cfg.run_max_steps
+        cfg.lr_init, cfg.lr_final, cfg.lr_delay_steps, cfg.lr_delay_mult,
+        # lr_max_steps pins the decay horizon independently of run_max_steps
+        # (0 = coupled); past it the schedule floors at lr_final.  Added for
+        # the AE 100k corrected config — see utils/config.py lr_max_steps.
+        cfg.lr_max_steps or cfg.run_max_steps,
     )
     if cfg.optimizer == "adam" and cfg.lr_scheduler == "nerf_loglerp":
         return optax.adam(nerf_sched, b1=0.9, b2=0.999), nerf_sched

@@ -41,6 +41,10 @@ class TrainingCollapsed(RuntimeError):
     """The model has collapsed to a constant render; resuming is useless."""
 
 
+class TrainingPlateaued(RuntimeError):
+    """Val quality has stalled below the configured floor; resuming is useless."""
+
+
 class CollapseSentinel:
     """Abort hopeless runs instead of burning hours of unattended TPU time.
 
@@ -72,6 +76,60 @@ class CollapseSentinel:
                 "from last.ckpt; restart with a gentler interval anneal "
                 "(aabb_warmup_steps) or wider intervals."
             )
+
+
+class PlateauSentinel:
+    """Catch the collapse sentinel's blind spot: slow-drift plateaus.
+
+    The round-4 AE 100k run drifted between 16.35 and 16.58 dB for 50k+
+    steps — never bit-identical, so :class:`CollapseSentinel` stayed quiet —
+    and burned ~2h of unattended chip time before round end.  This sentinel
+    tracks the best val/psnr seen; once past ``start_step``, if the best
+    improves by less than ``eps_db`` across ``epochs`` consecutive val
+    epochs while the best is still below ``floor_psnr``, it warns — and
+    raises :class:`TrainingPlateaued` when ``abort`` is set (non-resumable
+    by design, like TrainingCollapsed: last.ckpt holds the plateau basin).
+    ``epochs <= 0`` disables.
+    """
+
+    def __init__(
+        self,
+        epochs: int,
+        eps_db: float = 0.3,
+        floor_psnr: float = 25.0,
+        start_step: int = 0,
+        abort: bool = False,
+    ):
+        self.epochs = int(epochs)
+        self.eps_db = float(eps_db)
+        self.floor_psnr = float(floor_psnr)
+        self.start_step = int(start_step)
+        self.abort = bool(abort)
+        self._bests: list = []  # best-so-far val/psnr after each counted epoch
+
+    def update(self, val_psnr: float, step: int) -> None:
+        if self.epochs <= 0 or step < self.start_step:
+            return
+        best = max(self._bests[-1] if self._bests else -float("inf"), val_psnr)
+        self._bests.append(best)
+        if len(self._bests) <= self.epochs:
+            return
+        gain = self._bests[-1] - self._bests[-1 - self.epochs]
+        if gain >= self.eps_db or self._bests[-1] >= self.floor_psnr:
+            return
+        msg = (
+            f"val/psnr plateaued: best improved {gain:.3f} dB (< "
+            f"{self.eps_db}) over the last {self.epochs} val epochs and is "
+            f"still {self._bests[-1]:.2f} dB (< floor {self.floor_psnr}) at "
+            f"step {step}. The run is in an absorbing basin (see BASELINE.md "
+            "AE 100k negative result); do NOT resume from last.ckpt — "
+            "restart with lr_max_steps pinned at the proven horizon."
+        )
+        if self.abort:
+            raise TrainingPlateaued(msg)
+        import warnings
+
+        warnings.warn(msg, stacklevel=2)
 
 
 class Trainer:
@@ -217,6 +275,13 @@ class Trainer:
         self._beat()
         self._start_watchdog()  # no-op if armed at __init__; cheap insurance
         sentinel = CollapseSentinel(cfg.collapse_abort_vals)
+        plateau = PlateauSentinel(
+            cfg.plateau_abort_epochs,
+            cfg.plateau_eps_db,
+            cfg.plateau_floor_psnr,
+            cfg.plateau_start_step,
+            cfg.plateau_abort,
+        )
         it = self._train_iterator()
         steps_per_epoch = self._steps_per_epoch()
         rays_per_step = (
@@ -318,6 +383,7 @@ class Trainer:
                 # sentinel BEFORE save_last: never overwrite a live
                 # checkpoint with the collapsed state it would resume into
                 sentinel.update(val_psnr, self.global_step)
+                plateau.update(val_psnr, self.global_step)
                 self.ckpt.save_last(self.state, epoch)
                 if (epoch + 1) % ckpt_every == 0:
                     self.ckpt.save_ranked(self.state, epoch, val_psnr)

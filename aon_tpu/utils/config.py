@@ -149,6 +149,16 @@ class Config:
     lr_delay_steps: int = 2500
     lr_delay_mult: float = 0.01
     run_max_steps: int = 100000
+    # LR decay horizon, decoupled from run_max_steps (0 = run_max_steps,
+    # the reference's coupling, model.py:391-419 via opt.py:112).  The
+    # round-4 AE 100k negative result showed the opacity-BCE transition is
+    # anchored in ABSOLUTE optimizer steps, not schedule fraction: naively
+    # stretching the proven 24k trajectory to 100k keeps lr near max 4x
+    # longer and the plateau basin absorbs (val decayed 18.2 -> 16.2 and
+    # never transitioned).  Setting lr_max_steps to the proven horizon
+    # replays the exact known-good lr curve, then floors at lr_final
+    # (nerf_lr_schedule clips t at 1) for the remaining steps.
+    lr_max_steps: int = 0
     num_epochs: int = 80
     # optimizer/scheduler factory surface (reference opt.py:135-187; dormant
     # upstream — its live systems hardcode Adam + the log-lerp schedule).
@@ -199,6 +209,19 @@ class Config:
     # froze at 20.491 dB from step 3000 and burned 70 TPU-minutes before a
     # human noticed.  0 disables.
     collapse_abort_vals: int = 6
+    # Plateau sentinel (the collapse sentinel's blind spot, caught live in
+    # round 4: the AE 100k run drifted 16.35-16.58 dB for 50k+ steps —
+    # never bit-identical, so collapse_abort_vals sailed through — and
+    # burned ~2h of chip time).  After plateau_start_step, if the best
+    # val/psnr seen improves by < plateau_eps_db over plateau_abort_epochs
+    # consecutive val epochs while still below plateau_floor_psnr, warn;
+    # abort (TrainingPlateaued, non-resumable like TrainingCollapsed) when
+    # plateau_abort is set.  0 epochs disables.
+    plateau_abort_epochs: int = 0
+    plateau_eps_db: float = 0.3
+    plateau_floor_psnr: float = 25.0
+    plateau_start_step: int = 0
+    plateau_abort: bool = False
 
     # logging / checkpointing
     log_every_n_steps: int = 50
@@ -213,30 +236,36 @@ class Config:
     ckpt_every_n_epochs: int = 10
 
     def __post_init__(self):
-        # Encode the round-4 collapse hazard (ROADMAP "Quality" item 5) as a
-        # loud warning, not tribal knowledge: the AE system is only stable
+        # Encode the round-4/5 collapse hazard (ROADMAP "Quality" item 5) as
+        # a loud warning, not tribal knowledge: the AE system is only stable
         # under AABB/occ interval tightening when the anneal spans a fixed
-        # FRACTION of the schedule.  The proven gate run used
-        # aabb_warmup_steps/run_max_steps = 8000/24000 = 1/3; the same
-        # absolute 8000-step warmup on the 100k schedule collapsed the model
-        # to an empty render by step 3000 (lr stays near max ~4x longer).
+        # fraction of the LR DECAY HORIZON.  The proven gate run used
+        # aabb_warmup_steps/lr-horizon = 8000/24000 = 1/3; the same absolute
+        # 8000-step warmup with lr decaying over 100k collapsed the model to
+        # an empty render by step 3000 (lr stays near max ~4x longer), and
+        # — round-5 finding — scaling the warmup WITH the stretched horizon
+        # (33000/100000) merely trades the collapse for an absorbing 16 dB
+        # plateau: the transition is anchored in absolute steps, so long
+        # schedules must instead pin lr_max_steps at the proven horizon.
+        lr_horizon = self.lr_max_steps or self.run_max_steps
         if (
             self.exp_type == "vanilla_ae_art"
             and (self.use_aabb or self.use_occgrid)
             and not self.run_eval
-            and self.aabb_warmup_steps < 0.25 * self.run_max_steps
+            and self.aabb_warmup_steps < 0.25 * lr_horizon
         ):
             import warnings
 
             warnings.warn(
                 f"vanilla_ae_art with interval tightening and "
-                f"aabb_warmup_steps={self.aabb_warmup_steps} < 25% of "
-                f"run_max_steps={self.run_max_steps}: the interval anneal "
-                "must scale with the schedule or the opacity-BCE melts the "
-                "model to an absorbing empty render (observed at 8000/100000;"
-                " the proven ratio is 1/3). The collapse sentinel "
-                "(collapse_abort_vals) will abort such a run, but set "
-                "aabb_warmup_steps ~ run_max_steps/3 to avoid it.",
+                f"aabb_warmup_steps={self.aabb_warmup_steps} < 25% of the "
+                f"lr decay horizon ({lr_horizon}): the interval anneal must "
+                "scale with the lr curve or the opacity-BCE melts the model "
+                "to an absorbing empty render (observed at 8000/100000; the "
+                "proven ratio is 8000/24000). For schedules longer than the "
+                "proven horizon, set lr_max_steps=24000 rather than "
+                "stretching the anneal (stretching plateaus — see "
+                "BASELINE.md, AE 100k negative result).",
                 stacklevel=2,
             )
 

@@ -378,3 +378,52 @@ def test_collapse_sentinel_ignores_healthy_and_disabled():
     s3 = CollapseSentinel(limit=0)
     for _ in range(64):
         s3.update(20.491, step=0)
+
+
+def test_plateau_sentinel_trips_on_drift_plateau():
+    """Slow-drift plateaus (the collapse sentinel's blind spot, caught live
+    in round 4: AE 100k drifted 16.35-16.58 dB for 50k+ steps, never
+    bit-identical) must abort when plateau_abort is set."""
+    import pytest
+
+    from aon_tpu.train.trainer import PlateauSentinel, TrainingPlateaued
+
+    s = PlateauSentinel(epochs=4, eps_db=0.3, floor_psnr=25.0, start_step=12000, abort=True)
+    # pre-start_step values are ignored entirely
+    s.update(18.2, step=1500)
+    s.update(17.9, step=3000)
+    # the actual AE 100k drift pattern: oscillating within ~0.2 dB
+    drift = [16.43, 16.58, 16.38, 16.51]
+    for i, v in enumerate(drift):
+        s.update(v, step=13500 + 1500 * i)
+    with pytest.raises(TrainingPlateaued, match="plateaued"):
+        s.update(16.47, step=21000)  # 5th epoch: best gained < eps over last 4
+
+
+def test_plateau_sentinel_spares_healthy_and_converged_runs():
+    import warnings
+
+    from aon_tpu.train.trainer import PlateauSentinel
+
+    # a healthy run (the real 24k AE trajectory: sharp transition at ~18k).
+    # start_step must sit past the expected transition window — counting
+    # from step 0 would flag the normal pre-transition plateau.
+    s = PlateauSentinel(epochs=4, eps_db=0.3, floor_psnr=25.0, start_step=12000, abort=True)
+    healthy = [17.8, 17.2, 16.9, 17.0, 17.5, 18.1, 17.9, 18.0, 21.3, 28.4, 29.6, 29.8, 30.0, 30.2]
+    for i, v in enumerate(healthy):
+        s.update(v, step=1500 * (i + 1))
+    # a converged run above the floor never trips even when flat
+    s2 = PlateauSentinel(epochs=2, eps_db=0.3, floor_psnr=25.0, abort=True)
+    for i, v in enumerate([29.6, 29.61, 29.60, 29.62, 29.61, 29.60]):
+        s2.update(v, step=1500 * (i + 1))
+    # abort=False warns instead of raising
+    s3 = PlateauSentinel(epochs=2, eps_db=0.3, floor_psnr=25.0, abort=False)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        for i, v in enumerate([16.4, 16.5, 16.45, 16.5]):
+            s3.update(v, step=1500 * (i + 1))
+        assert any("plateaued" in str(x.message) for x in w)
+    # epochs=0 disables
+    s4 = PlateauSentinel(epochs=0, abort=True)
+    for _ in range(64):
+        s4.update(16.4, step=99000)
