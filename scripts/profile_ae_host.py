@@ -85,7 +85,10 @@ def main() -> None:
     t0 = time.perf_counter()
     for bs in pre_drawn:
         staged = stack_step_batches(bs, tr.mesh, microbatch=cfg.microbatch_rays)
-    jax.block_until_ready(staged)
+        # Block per iteration: the axon relay acks async device_put early, and
+        # overwriting ``staged`` would let earlier transfers complete during
+        # later iterations (or leak into the next stage's timing).
+        jax.block_until_ready(staged)
     dt = time.perf_counter() - t0
     report["stage_rays_per_sec"] = n * rays_per_dispatch / dt
     report["stage_ms_per_dispatch"] = 1e3 * dt / n
@@ -97,7 +100,11 @@ def main() -> None:
     t0 = time.perf_counter()
     for _ in range(n):
         state, m = tr.system.train_many(state, staged, key)
-    jax.block_until_ready(m)
+        # Per-dispatch forced scalar readback (bench_art.py protocol): the axon
+        # relay acks dispatches early, so queueing n dispatches with a single
+        # block at the end under-counts by the relay's queue depth and the
+        # derived host_share becomes meaningless.
+        _ = float(m["train/loss"])
     dt = time.perf_counter() - t0
     report["dispatch_rays_per_sec"] = n * rays_per_dispatch / dt
     report["dispatch_ms_per_dispatch"] = 1e3 * dt / n
