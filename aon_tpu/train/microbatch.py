@@ -73,8 +73,11 @@ def accumulated_grads(
     ray_parts = {n: v for n, v in batch.items() if n in RAY_KEYS}
     shared = {n: v for n, v in batch.items() if n not in RAY_KEYS}
 
-    if next(iter(ray_parts.values())).ndim == batch["rays_o"].ndim == 2:
-        # flat (unstacked) batch: single microbatch
+    if batch["rays_o"].ndim == 2:
+        # flat (unstacked) batch: single microbatch.  Discriminate on rays_o
+        # specifically — 1-D ray entries (instance_mask, t_near, loss_w) have
+        # ndim 1 flat / 2 stacked, so "first ray entry in dict order" would
+        # misclassify a flat AE batch as stacked.
         return _loss_aux_grads(loss_fn, params, batch, key)
 
     k = next(iter(ray_parts.values())).shape[0]

