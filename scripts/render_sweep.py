@@ -47,10 +47,10 @@ def main() -> None:
     )
     ds = trainer.test_dataset
     instance_dir = ds.ids[args.instance % len(ds.ids)]
-    rays_o, viewdirs, rays_d, img, seg = ds._read_frame(
+    rays_o, viewdirs, rays_d, img, seg, aabb = ds._read_frame(
         instance_dir, "0_degree", args.image_id
     )
-    frame = ds._to_sample(rays_o, viewdirs, rays_d, img, seg)
+    frame = ds._to_sample(rays_o, viewdirs, rays_d, img, seg, aabb=aabb)
     frame["instance_id"] = np.int32(args.instance % len(ds.ids))
     frame["img_wh"] = np.array(ds.img_wh)
 
