@@ -63,6 +63,14 @@ def focal_from_fovy(height: int, fovy_deg: float = FOVY_DEG) -> float:
     return 0.5 * height / math.tan(0.5 * math.radians(fovy_deg))
 
 
+def _cax_for_loader(width: int, fovy_deg: float = FOVY_DEG) -> float:
+    """camera_angle_x value whose round-trip through the multi loader's
+    quirky focal formula — 0.5*h/tan(cax/2) * (w/320), reference
+    sapien_multi.py:115-116 — yields the true render focal at this width.
+    Identity (cax = fovy) at the reference's native w=320."""
+    return 2.0 * math.atan(math.tan(0.5 * math.radians(fovy_deg)) * width / 320.0)
+
+
 def generate_poses(cfg: Dict) -> Dict[str, np.ndarray]:
     """Per-split (n, 4, 4) c2w pose arrays (random-sphere or replayed)."""
     if cfg.get("render_pose_path"):
@@ -170,12 +178,14 @@ def render_with_sapien(cfg: Dict) -> None:
                 # single-scene loaders use the literal focal unrescaled
                 write_transforms(os.path.join(base, "transforms.json"), frames, focal=focal)
             else:
-                # sapien_multi derives focal from camera_angle_x at h with a
-                # w/320 rescale — write the fovy so generation resolution
-                # [320, 240] round-trips exactly (sapien_multi.py:115-116)
+                # sapien_multi derives focal as 0.5*h/tan(cax/2) * (w/320)
+                # (the reference quirk, sapien_multi.py:115-116) — invert
+                # that formula so the loader recovers the TRUE render focal
+                # at ANY generation resolution (reduces to cax=fovy at
+                # w=320, so the committed 320x240 digests are unchanged)
                 write_transforms(
                     os.path.join(base, "transforms.json"), frames,
-                    camera_angle_x=math.radians(FOVY_DEG),
+                    camera_angle_x=_cax_for_loader(w),
                 )
 
     # Ground-truthed articulation sweep ("test_spheric"): the reference's
@@ -212,7 +222,7 @@ def render_with_sapien(cfg: Dict) -> None:
             degs[name] = deg_i
         write_transforms(
             os.path.join(base, "transforms.json"), frames,
-            camera_angle_x=math.radians(FOVY_DEG),
+            camera_angle_x=_cax_for_loader(w),
         )
         # record the per-frame articulation next to the poses
         with open(os.path.join(base, "transforms.json")) as fh:
