@@ -19,8 +19,11 @@ including the odd interpolated ids from the 2N-1 midpoint table), and the
 auto-encoder (latents encoded from a train frame's source image).
 
 Occupancy threshold: ``--threshold auto`` marks a voxel occupied when a ray
-crossing it at its own edge length would reach alpha > 0.5, i.e.
-``sigma > ln(2) / voxel_size`` — resolution-independent, no hand tuning.
+crossing a 4-voxel span of it would reach alpha > 0.5, i.e.
+``sigma > ln(2) / (4 * voxel_size)`` — resolution-independent, no hand
+tuning.  (A 1-voxel crossing rule proved too strict for thin articulated
+geometry: on the trained scissors at 160^3 it kept only the densest blade
+cores; the 4-voxel rule recovers the full blades.)
 
 Usage:
   python scripts/extract_geometry.py --config configs/quality_laptop_autodec_24k_aabb24.json \
@@ -61,6 +64,32 @@ def density_color_fn(trainer, args):
     viewdir /= max(np.linalg.norm(viewdir), 1e-8)
 
     if cfg.exp_type == "vanilla":
+        if jax.default_backend() != "cpu":
+            # ride the hardware-proven fused eval kernel (see the
+            # articulated branch below for why the unfused apply can't)
+            from aon_tpu.ops import (
+                fused_nerf_mlp_xyz,
+                make_posenc_constants,
+                pack_vanilla_mlp_params,
+            )
+
+            packed = pack_vanilla_mlp_params(params["model"]["fine_mlp"])
+            enc_consts = make_posenc_constants()
+
+            @jax.jit
+            def query(pts):
+                n = pts.shape[0]
+                S = 128
+                pos = pts.reshape(n // S, S, 3)
+                vdir = jnp.broadcast_to(jnp.asarray(viewdir)[None], (n // S, 3))
+                raw_rgb, raw_sigma = fused_nerf_mlp_xyz(packed, enc_consts, pos, vdir)
+                return (
+                    jax.nn.relu(raw_sigma.reshape(n)),
+                    jax.nn.sigmoid(raw_rgb.reshape(n, 3)),
+                )
+
+            return query
+
         from aon_tpu.models.mlp import NeRFMLP
 
         mlp = NeRFMLP(dtype=system.model.dtype)
@@ -68,13 +97,19 @@ def density_color_fn(trainer, args):
 
         @jax.jit
         def query(pts):
-            enc = sampling.pos_enc(
-                pts[:, None, :], system.model.min_deg_point, system.model.max_deg_point
-            )
-            vdir = jnp.broadcast_to(jnp.asarray(viewdir)[None], (pts.shape[0], 3))
+            # (N,3) -> (B,S,3): the MLPs are compiled/tested at multi-sample
+            # ray shapes; per-point S=1 shapes SIGILL the TPU compiler
+            n = pts.shape[0]
+            S = 128
+            p = pts.reshape(n // S, S, 3)
+            enc = sampling.pos_enc(p, system.model.min_deg_point, system.model.max_deg_point)
+            vdir = jnp.broadcast_to(jnp.asarray(viewdir)[None], (n // S, 3))
             venc = sampling.pos_enc(vdir, 0, system.model.deg_view)
             raw_rgb, raw_sigma = mlp.apply(mlp_params, enc, venc)
-            return jax.nn.relu(raw_sigma[:, 0, 0]), jax.nn.sigmoid(raw_rgb[:, 0, :])
+            return (
+                jax.nn.relu(raw_sigma.reshape(n)),
+                jax.nn.sigmoid(raw_rgb.reshape(n, 3)),
+            )
 
         return query
 
@@ -119,24 +154,59 @@ def density_color_fn(trainer, args):
     density_bias = getattr(model, "density_bias", -1.0)
     rgb_padding = getattr(model, "rgb_padding", 0.0)
 
+    if jax.default_backend() != "cpu":
+        # the Pallas fused eval kernel is the hardware-proven articulated
+        # path (the unfused flax apply SIGILLs the relay's XLA TPU compile
+        # on this graph); grid points ride it as (B, S, 3) "samples"
+        from aon_tpu.ops.fused_art import fused_art_mlp_eval
+
+        @jax.jit
+        def query(pts):
+            n = pts.shape[0]
+            S = 128
+            B = n // S
+            pos = pts.reshape(B, S, 3)
+            vdir = jnp.broadcast_to(jnp.asarray(viewdir)[None], (B, 3))
+            raw_rgb, raw_sigma = fused_art_mlp_eval(
+                mlp_params["params"], latents, pos, vdir, tile=min(1024, B)
+            )
+            sigma, rgb = _art_activations(
+                raw_sigma, raw_rgb, sigma_act, density_bias, rgb_padding
+            )
+            return sigma.reshape(n), rgb.reshape(n, 3)
+
+        return query
+
     @jax.jit
     def query(pts):
-        vdir = jnp.broadcast_to(jnp.asarray(viewdir)[None], (pts.shape[0], 3))
+        n = pts.shape[0]
+        S = 128
+        pos = pts.reshape(n // S, S, 3)
+        vdir = jnp.broadcast_to(jnp.asarray(viewdir)[None], (n // S, 3))
         venc = sampling.pos_enc(vdir, 0, model.deg_view)
-        pos = pts[:, None, :]
         if not model.enc_after:
             pos = sampling.pos_enc(pos, model.min_deg_point, model.max_deg_point)
         raw_rgb, raw_sigma = mlp.apply(mlp_params, pos, venc, latents)
-        if sigma_act == "softplus_bias":
-            sigma = jax.nn.softplus(raw_sigma + density_bias)
-        else:
-            sigma = jax.nn.relu(raw_sigma)
-        rgb = jax.nn.sigmoid(raw_rgb)
-        if rgb_padding > 0:
-            rgb = jnp.clip(rgb * (1 + 2 * rgb_padding) - rgb_padding, 0.0, 1.0)
-        return sigma[:, 0, 0], rgb[:, 0, :]
+        sigma, rgb = _art_activations(
+            raw_sigma, raw_rgb, sigma_act, density_bias, rgb_padding
+        )
+        return sigma.reshape(n), rgb.reshape(n, 3)
 
     return query
+
+
+def _art_activations(raw_sigma, raw_rgb, sigma_act, density_bias, rgb_padding):
+    import jax
+    import jax.numpy as jnp
+
+    if sigma_act == "softplus_bias":
+        sigma = jax.nn.softplus(raw_sigma + density_bias)
+    else:
+        sigma = jax.nn.relu(raw_sigma)
+    rgb = jax.nn.sigmoid(raw_rgb)
+    if rgb_padding > 0:
+        rgb = jnp.clip(rgb * (1 + 2 * rgb_padding) - rgb_padding, 0.0, 1.0)
+    return sigma, rgb
 
 
 def write_ply(path, pts, colors):
@@ -194,10 +264,10 @@ def boundary_mesh(occ, lo, voxel):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--config", required=True)
+    ap.add_argument("--config", default=None, help="required unless --from_grid")
     ap.add_argument("--ckpt", default="last.ckpt")
     ap.add_argument("--resolution", type=int, default=160)
-    ap.add_argument("--threshold", default="auto", help='"auto" (= ln2/voxel) or a float sigma')
+    ap.add_argument("--threshold", default="auto", help='"auto" (= ln2/(4*voxel)) or a float sigma')
     ap.add_argument("--instance", type=int, default=0)
     ap.add_argument("--articulation", type=int, default=0)
     ap.add_argument("--interpolated", action="store_true",
@@ -208,7 +278,40 @@ def main():
     ap.add_argument("--bounds", type=float, nargs=6, default=None,
                     help="xmin ymin zmin xmax ymax zmax (overrides the dataset AABB)")
     ap.add_argument("--out", default="geometry")
+    ap.add_argument("--from_grid", default=None,
+                    help="re-threshold a saved density_grid.npz (no model query; "
+                         "colors fall back to density-shaded gray)")
     args = ap.parse_args()
+
+    if args.from_grid:
+        z = np.load(args.from_grid)
+        sig_grid, bounds, voxel = z["sigma"], z["bounds"], float(z["voxel"])
+        R = sig_grid.shape[0]
+        lo = bounds[0]
+        thr = (
+            np.log(2.0) / (4.0 * voxel)
+            if args.threshold == "auto"
+            else float(args.threshold)
+        )
+        occ = sig_grid > thr
+        out_dir = os.path.dirname(os.path.abspath(args.from_grid))
+        axes = [np.linspace(lo[d] + 0.5 * voxel, lo[d] + (R - 0.5) * voxel, R) for d in range(3)]
+        grid = np.stack(np.meshgrid(*axes, indexing="ij"), axis=-1)
+        shade = np.clip(sig_grid[occ] / max(float(sig_grid.max()), 1e-6), 0.2, 1.0)
+        write_ply(os.path.join(out_dir, "points.ply"), grid[occ],
+                  np.repeat(shade[:, None], 3, axis=1))
+        verts, tris = boundary_mesh(occ, lo, voxel)
+        with open(os.path.join(out_dir, "mesh.obj"), "w") as fh:
+            for v in verts:
+                fh.write(f"v {v[0]:.5f} {v[1]:.5f} {v[2]:.5f}\n")
+            for t in tris:
+                fh.write(f"f {t[0] + 1} {t[1] + 1} {t[2] + 1}\n")
+        print(
+            f"occupied {int(occ.sum())}/{R ** 3} voxels (sigma>{thr:.2f}); "
+            f"mesh {len(verts)} verts / {len(tris)} tris -> {out_dir}",
+            flush=True,
+        )
+        return
 
     from aon_tpu.train.trainer import Trainer
     from aon_tpu.utils.config import get_config
@@ -245,6 +348,10 @@ def main():
     axes = [np.linspace(lo[d] + 0.5 * voxel, lo[d] + (R - 0.5) * voxel, R) for d in range(3)]
     grid = np.stack(np.meshgrid(*axes, indexing="ij"), axis=-1).reshape(-1, 3)
 
+    if args.config is None:
+        raise SystemExit("--config is required unless --from_grid is given")
+    if args.chunk % 128:
+        raise SystemExit("--chunk must be a multiple of 128 (points are blocked (B,128,3))")
     query = density_color_fn(trainer, args)
     n = grid.shape[0]
     sigma = np.empty(n, dtype=np.float32)
@@ -259,7 +366,7 @@ def main():
         rgb[s:e] = np.asarray(cg)[: e - s]
         print(f"queried {e}/{n} grid points", flush=True)
 
-    thr = np.log(2.0) / voxel if args.threshold == "auto" else float(args.threshold)
+    thr = np.log(2.0) / (4.0 * voxel) if args.threshold == "auto" else float(args.threshold)
     sig_grid = sigma.reshape(R, R, R)
     occ = sig_grid > thr
 

@@ -85,7 +85,7 @@ def test_write_ply_roundtrip(tmp_path):
 
 
 def test_auto_threshold_is_alpha_half_crossing():
-    # sigma * voxel = ln 2  <=>  1 - exp(-sigma*voxel) = 0.5
+    # sigma * 4*voxel = ln 2  <=>  1 - exp(-sigma * 4*voxel) = 0.5
     voxel = 0.04
-    thr = np.log(2.0) / voxel
-    assert np.isclose(1.0 - np.exp(-thr * voxel), 0.5)
+    thr = np.log(2.0) / (4.0 * voxel)
+    assert np.isclose(1.0 - np.exp(-thr * 4.0 * voxel), 0.5)
