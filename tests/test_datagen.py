@@ -188,9 +188,18 @@ def test_render_loop_with_mocked_sapien(tmp_path, monkeypatch):
         for deg in (0, 30):
             base = tmp_path / "out" / split / f"{deg}_degree"
             meta = json.loads((base / "transforms.json").read_text())
-            # articulated sweeps store camera_angle_x (= fovy): sapien_multi
-            # derives focal as 0.5*h/tan(0.5*cax) * w/320 (sapien_multi.py:115)
-            assert meta["camera_angle_x"] == pytest.approx(math.radians(35.0))
+            # articulated sweeps store the camera_angle_x whose round-trip
+            # through the loader's quirky focal formula —
+            # 0.5*h/tan(0.5*cax) * (w/320), sapien_multi.py:115 — recovers
+            # the TRUE render focal at ANY generation width (identity
+            # cax=fovy only at w=320)
+            cax = meta["camera_angle_x"]
+            assert cax == pytest.approx(
+                2.0 * math.atan(math.tan(0.5 * math.radians(35.0)) * W / 320.0)
+            )
+            loader_focal = 0.5 * H / math.tan(0.5 * cax) * (W / 320.0)
+            render_focal = 0.5 * H / math.tan(0.5 * math.radians(35.0))
+            assert loader_focal == pytest.approx(render_focal)
             assert set(meta["frames"]) == {f"r_{i}" for i in range(n)}
             rgba = np.asarray(Image.open(base / "rgb" / "r_0.png"))
             assert rgba.shape == (H, W, 4)
